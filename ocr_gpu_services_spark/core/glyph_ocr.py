@@ -1,0 +1,128 @@
+"""Deterministic OCR stub: 8x8 glyph-template renderer + vectorized matcher.
+
+The container has no GPU / Paddle / docTR (SURVEY.md §7.0), so the OCR
+"model" is a numpy template matcher over an unambiguous glyph atlas.  What is
+kept REAL — and what the north rule cares about — is the Spark-side
+architecture of the reference's OCR services
+(/root/reference/src/infrastructure/services/ocr_service.py:13-43,
+/root/reference/src/api/v1/routers/ocr.py:26-29,70-74):
+
+* model (atlas) loaded once per partition, not per row
+  (reference singleton pattern, /root/reference/src/api/v1/dependencies.py:8-20)
+* micro-batched tensor inference: all glyph cells of a batch are matched in
+  ONE (cells x atlas) einsum — no per-row Python in the hot loop (the
+  analogue of the batched ``torch.linalg.lstsq`` at
+  /root/reference/src/ml/classifier/model.py:257-261)
+* per-word output records {text, confidence, position}
+  (ocr_service.py:32-36) -> Span(kind='word')
+
+Atlas glyphs are derived from sha256(char) bits, verified pairwise-distinct
+at import; confidence = fraction of agreeing pixels (1.0 on clean renders).
+Swapping in a real engine means replacing `match_cells` only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .normalize import canonical_text
+from .spans import Span
+
+CHARSET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.,:-/$#@&%"
+CELL = 8          # glyph cell size in px
+PITCH_Y = 12      # vertical line pitch
+MARGIN = 4        # page margin
+INK, PAPER = 0, 255
+
+
+def _glyph_bits(ch: str) -> np.ndarray:
+    h = hashlib.sha256(f"glyph:{ch}".encode()).digest()[:8]
+    bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8)).reshape(8, 8)
+    if not bits.any():
+        bits[0, 0] = 1
+    return bits.astype(np.uint8)
+
+
+def build_atlas() -> tuple[np.ndarray, str]:
+    """(K, 64) uint8 bit matrix + charset string.  The 'model weights'."""
+    mats = np.stack([_glyph_bits(c).reshape(64) for c in CHARSET])
+    # unambiguity check: all glyphs pairwise distinct and non-blank
+    assert len({m.tobytes() for m in mats}) == len(CHARSET)
+    return mats, CHARSET
+
+
+def render_text_image(lines: list[str]) -> np.ndarray:
+    """Render lines of CHARSET text (plus spaces) to a grayscale page."""
+    lines = [ln.rstrip() for ln in lines]
+    ncols = max((len(ln) for ln in lines), default=0)
+    h = 2 * MARGIN + max(len(lines) - 1, 0) * PITCH_Y + CELL
+    w = 2 * MARGIN + max(ncols, 1) * CELL
+    img = np.full((h, w), PAPER, dtype=np.uint8)
+    for r, ln in enumerate(lines):
+        y = MARGIN + r * PITCH_Y
+        for c, ch in enumerate(ln):
+            if ch == " ":
+                continue
+            bits = _glyph_bits(ch)
+            x = MARGIN + c * CELL
+            img[y:y + CELL, x:x + CELL] = np.where(bits == 1, INK, PAPER)
+    return img
+
+
+def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
+             ) -> tuple[str, list[Span]]:
+    """Locate the glyph grid, batch-match every cell, emit text + word spans."""
+    ink = img < 128
+    ys, xs = np.nonzero(ink)
+    if ys.size == 0:
+        return "", []
+    y0, x0 = int(ys.min()), int(xs.min())
+    n_rows = (int(ys.max()) - y0) // PITCH_Y + 1
+    n_cols = (int(xs.max()) - x0) // CELL + 1
+
+    # gather all cells of the page into one (n_rows*n_cols, 64) batch
+    cells = np.zeros((n_rows, n_cols, 64), dtype=np.uint8)
+    for r in range(n_rows):
+        yy = y0 + r * PITCH_Y
+        band = ink[yy:yy + CELL, x0:x0 + n_cols * CELL]
+        pad = np.zeros((CELL, n_cols * CELL), dtype=bool)
+        pad[:band.shape[0], :band.shape[1]] = band
+        cells[r] = (pad.reshape(CELL, n_cols, CELL)
+                       .transpose(1, 0, 2).reshape(n_cols, 64))
+    flat = cells.reshape(-1, 64)
+
+    # single vectorized matching step: agreement popcount against the atlas
+    agree = (flat[:, None, :] == atlas[None, :, :]).sum(axis=2)  # (N, K)
+    best = agree.argmax(axis=1)
+    conf = agree.max(axis=1) / 64.0
+    blank = ~flat.any(axis=1)
+
+    lines: list[str] = []
+    spans: list[Span] = []
+    for r in range(n_rows):
+        chars = []
+        for c in range(n_cols):
+            i = r * n_cols + c
+            chars.append(" " if blank[i] else charset[best[i]])
+        line = "".join(chars).rstrip()
+        lines.append(line)
+        # word spans: maximal runs of non-space chars
+        c = 0
+        while c < len(line):
+            if line[c] == " ":
+                c += 1
+                continue
+            start = c
+            while c < len(line) and line[c] != " ":
+                c += 1
+            idxs = [r * n_cols + k for k in range(start, c)]
+            spans.append(Span(
+                text=line[start:c],
+                conf=float(np.mean([conf[i] for i in idxs])),
+                x0=float(x0 + start * CELL), y0=float(y0 + r * PITCH_Y),
+                x1=float(x0 + c * CELL), y1=float(y0 + r * PITCH_Y + CELL),
+                kind="word",
+            ))
+    return canonical_text("\n".join(lines)), spans

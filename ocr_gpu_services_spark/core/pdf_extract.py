@@ -1,0 +1,360 @@
+"""Minimal deterministic PDF text extractor (pdfminer-style, from scratch).
+
+The reference rasterizes PDFs and OCRs them
+(/root/reference/src/api/v1/routers/ocr.py:64-67 via docTR
+``DocumentFile.from_pdf``).  At 10^12-document batch scale that is wasteful
+for born-digital PDFs, so this engine parses the content streams directly and
+reserves OCR for raster payloads — same output contract (text + spans), far
+cheaper.  The subset implemented is the standard text-showing machinery:
+
+* object parsing (``N 0 obj … endobj``), Flate and raw streams
+* page tree traversal (Catalog -> Pages /Kids order = page order)
+* content-stream tokens: BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, TJ, ``'``
+* text matrix: translation composition (Td/TD/T*/Tm)
+* TJ kerning: adjustment < -THRESH_TJ_SPACE inserts a word gap
+* line grouping: y-cluster (tolerance 2.0 pt), reading order by descending y
+* two-column pages: if both halves of the page hold >= 2 lines, the left
+  column is read top-to-bottom before the right (pdfminer-style layout
+  grouping, simplified to the deterministic case)
+
+Ties are broken by the total order (-y, x, stream sequence) so the output is
+byte-stable under any parse order (SURVEY.md §7.3 item 2).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+
+from .normalize import canonical_text, collapse_ws
+from .spans import Span
+
+THRESH_TJ_SPACE = 150.0   # TJ adjustment (thousandths of em) that implies a gap
+AVG_CHAR_WIDTH = 0.5      # em; Helvetica-ish average, used only for gap joins
+Y_TOL = 2.0               # pt; runs within this y-distance share a line
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
+_TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+
+
+@dataclass
+class _Run:
+    x: float
+    y: float
+    size: float
+    text: str
+    seq: int
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+
+
+def _object_stream(body: bytes) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    raw = m.group(1)
+    if b"/FlateDecode" in body:
+        raw = zlib.decompress(raw)
+    return raw
+
+
+def _page_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in document order via the page tree; falls back to
+    object-number order of /Type /Page objects for degenerate files."""
+    def walk(num: int, out: list[int]):
+        body = objs.get(num)
+        if body is None:
+            return
+        if _TYPE_PAGES_RE.search(body):
+            m = _KIDS_RE.search(body)
+            if m:
+                for ref in _REF_RE.finditer(m.group(1)):
+                    walk(int(ref.group(1)), out)
+        elif _TYPE_PAGE_RE.search(body):
+            out.append(num)
+
+    order: list[int] = []
+    root_m = _ROOT_RE.search(data)
+    if root_m:
+        root_body = objs.get(int(root_m.group(1)), b"")
+        pages_m = _PAGES_REF_RE.search(root_body)
+        if pages_m:
+            walk(int(pages_m.group(1)), order)
+    if not order:
+        order = sorted(n for n, b in objs.items()
+                       if _TYPE_PAGE_RE.search(b) and not _TYPE_PAGES_RE.search(b))
+    return order
+
+
+# ----------------------------------------------------------------------------
+# content-stream tokenizer
+# ----------------------------------------------------------------------------
+
+def _decode_pdf_string(tok: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(tok):
+        c = tok[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= len(tok):
+                break
+            e = tok[i]
+            if e in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+            elif e in b"()\\":
+                out.append(e)
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = bytearray([e])
+                for _ in range(2):
+                    if i + 1 < len(tok) and 0x30 <= tok[i + 1] <= 0x37:
+                        i += 1
+                        oct_digits.append(tok[i])
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+            elif e == 0x0A:
+                pass  # line continuation
+            else:
+                out.append(e)
+        else:
+            out.append(c)
+        i += 1
+    return out.decode("latin-1")
+
+
+_NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
+
+
+def _tokenize(stream: bytes):
+    """Yield ('num', float) | ('str', str) | ('arr', list) | ('op', bytes) |
+    ('name', bytes)."""
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i:i + 1]
+        if c in b" \t\r\n\x00":
+            i += 1
+        elif c == b"(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                cj = stream[j]
+                if cj == 0x5C:
+                    j += 2
+                    continue
+                if cj == 0x28:
+                    depth += 1
+                elif cj == 0x29:
+                    depth -= 1
+                j += 1
+            yield ("str", _decode_pdf_string(stream[i + 1:j - 1]))
+            i = j
+        elif c == b"[":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                cj = stream[j:j + 1]
+                if cj == b"(":
+                    d2 = 1
+                    j += 1
+                    while j < n and d2:
+                        if stream[j] == 0x5C:
+                            j += 2
+                            continue
+                        if stream[j] == 0x28:
+                            d2 += 1
+                        elif stream[j] == 0x29:
+                            d2 -= 1
+                        j += 1
+                    continue
+                if cj == b"[":
+                    depth += 1
+                elif cj == b"]":
+                    depth -= 1
+                j += 1
+            inner = stream[i + 1:j - 1]
+            items = []
+            for t, v in _tokenize(inner):
+                if t in ("num", "str"):
+                    items.append((t, v))
+            yield ("arr", items)
+            i = j
+        elif c == b"/":
+            m = re.match(rb"/[^\s()<>\[\]{}/%]*", stream[i:])
+            yield ("name", m.group(0))
+            i += m.end()
+        else:
+            m = _NUM_RE.match(stream, i)
+            if m and m.start() == i:
+                yield ("num", float(m.group(0)))
+                i = m.end()
+            else:
+                m2 = re.match(rb"[A-Za-z'\"*]+", stream[i:])
+                if m2:
+                    yield ("op", m2.group(0))
+                    i += m2.end()
+                else:
+                    i += 1  # unknown byte; skip
+
+
+def _runs_from_stream(stream: bytes, seq0: int) -> list[_Run]:
+    runs: list[_Run] = []
+    stack: list = []
+    size = 12.0
+    leading = 0.0
+    lx = ly = 0.0       # line-matrix translation (subset: translations only)
+    cx = cy = 0.0       # current point
+    seq = seq0
+    in_text = False
+
+    def emit(text: str):
+        nonlocal seq, cx
+        if text:
+            runs.append(_Run(cx, cy, size, text, seq))
+            seq += 1
+            cx += len(text) * AVG_CHAR_WIDTH * size
+
+    for tok in _tokenize(stream):
+        t, v = tok
+        if t in ("num", "str", "arr", "name"):
+            stack.append(tok)
+            continue
+        op = v
+        if op == b"BT":
+            in_text = True
+            lx = ly = cx = cy = 0.0
+        elif op == b"ET":
+            in_text = False
+        elif op == b"Tf" and len(stack) >= 1 and stack[-1][0] == "num":
+            size = stack[-1][1]
+        elif op == b"TL" and stack and stack[-1][0] == "num":
+            leading = stack[-1][1]
+        elif op in (b"Td", b"TD") and len(stack) >= 2:
+            ty = stack[-1][1] if stack[-1][0] == "num" else 0.0
+            tx = stack[-2][1] if stack[-2][0] == "num" else 0.0
+            if op == b"TD":
+                leading = -ty
+            lx += tx
+            ly += ty
+            cx, cy = lx, ly
+        elif op == b"Tm" and len(stack) >= 6:
+            nums = [s[1] for s in stack[-6:] if s[0] == "num"]
+            if len(nums) == 6:
+                lx, ly = nums[4], nums[5]
+                cx, cy = lx, ly
+        elif op == b"T*":
+            ly -= leading
+            cx, cy = lx, ly
+        elif op == b"Tj" and stack and stack[-1][0] == "str" and in_text:
+            emit(stack[-1][1])
+        elif op == b"'" and stack and stack[-1][0] == "str" and in_text:
+            ly -= leading
+            cx, cy = lx, ly
+            emit(stack[-1][1])
+        elif op == b"TJ" and stack and stack[-1][0] == "arr" and in_text:
+            buf = []
+            for it, iv in stack[-1][1]:
+                if it == "str":
+                    buf.append(iv)
+                elif it == "num" and iv < -THRESH_TJ_SPACE:
+                    buf.append(" ")
+            emit("".join(buf))
+        stack.clear()
+    return runs
+
+
+# ----------------------------------------------------------------------------
+# layout: runs -> lines -> reading order
+# ----------------------------------------------------------------------------
+
+def _group_lines(runs: list[_Run]) -> list[tuple[float, float, str, float]]:
+    """Cluster runs into lines; returns (y, min_x, text, size) per line."""
+    if not runs:
+        return []
+    runs_sorted = sorted(runs, key=lambda r: (-r.y, r.x, r.seq))
+    lines: list[list[_Run]] = []
+    for r in runs_sorted:
+        if lines and abs(lines[-1][0].y - r.y) <= Y_TOL:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+    out = []
+    for group in lines:
+        group.sort(key=lambda r: (r.x, r.seq))
+        parts: list[str] = []
+        prev_end = None
+        for r in group:
+            if prev_end is not None:
+                gap = r.x - prev_end
+                if gap > 0.25 * r.size and parts and not parts[-1].endswith(" ") \
+                        and not r.text.startswith(" "):
+                    parts.append(" ")
+            parts.append(r.text)
+            prev_end = r.x + len(r.text) * AVG_CHAR_WIDTH * r.size
+        text = collapse_ws("".join(parts))
+        if text:
+            out.append((group[0].y, min(r.x for r in group), text,
+                        max(r.size for r in group)))
+    return out
+
+
+def _layout_lines(runs: list[_Run], page_width: float):
+    """Column-aware layout: if both page halves hold >= 2 lines, treat as a
+    two-column page and read the left column fully before the right
+    (pdfminer-style layout grouping, deterministic case)."""
+    left = [r for r in runs if r.x < page_width / 2]
+    right = [r for r in runs if r.x >= page_width / 2]
+    l_lines, r_lines = _group_lines(left), _group_lines(right)
+    key = lambda ln: (-ln[0], ln[1])
+    if len(l_lines) >= 2 and len(r_lines) >= 2:
+        return sorted(l_lines, key=key) + sorted(r_lines, key=key)
+    return sorted(_group_lines(runs), key=key)
+
+
+def extract_pdf(payload: bytes) -> tuple[str, list[Span]]:
+    """Extract reading-order text + line spans from PDF bytes."""
+    objs = _parse_objects(payload)
+    page_nums = _page_order(payload, objs)
+
+    page_texts: list[str] = []
+    spans: list[Span] = []
+    seq = 0
+    for pageno, pnum in enumerate(page_nums):
+        body = objs.get(pnum, b"")
+        mb = _MEDIABOX_RE.search(body)
+        width = float(mb.group(3)) if mb else 612.0
+        content_bodies: list[bytes] = []
+        cm = _CONTENTS_RE.search(body)
+        if cm:
+            s = _object_stream(objs.get(int(cm.group(1)), b""))
+            if s:
+                content_bodies.append(s)
+        else:
+            s = _object_stream(body)
+            if s:
+                content_bodies.append(s)
+        runs: list[_Run] = []
+        for cb in content_bodies:
+            runs.extend(_runs_from_stream(cb, seq))
+            seq += len(runs)
+        lines = _layout_lines(runs, width)
+        page_texts.append("\n".join(ln[2] for ln in lines))
+        for y, x, text, size in lines:
+            norm = canonical_text(text)
+            spans.append(Span(
+                text=norm, conf=1.0,
+                x0=float(x), y0=float(y),
+                x1=float(x + len(norm) * AVG_CHAR_WIDTH * size),
+                y1=float(y + size),
+                kind="line",
+            ))
+    text = canonical_text("\n\n".join(t for t in page_texts if t))
+    return text, spans

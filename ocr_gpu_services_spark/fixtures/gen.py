@@ -1,0 +1,177 @@
+"""Deterministic synthetic `pages` table generator (FIXTURES.md §1).
+
+Seeded, no wall clock, no external data.  Row mix ~70% html / 15% pdf /
+10% image / 5% text, with the skew knobs the north rule requires:
+* mega-pages: every 101st html payload is ~100x median size
+* a pdf-heavy host: `pdf-farm.example` contributes a contiguous block of
+  PDF rows (skewed host distribution)
+
+The same generator feeds pytest goldens (tiny), e2e/resume tests (small) and
+the throughput bench (bench) — see ``scale_rows``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from ..core import glyph_ocr
+from ..core.png import png_encode
+from .pdf_write import build_pdf, content_stream_ops
+
+SCALES = {"tiny": 200, "small": 5000, "bench": 50000}
+
+_WORDS_EN = (
+    "pipeline spark batch arrow kernel parquet shuffle partition executor "
+    "document extraction boilerplate heuristic layout reading order crawl "
+    "archive snapshot content main article paragraph heading table cell "
+    "vector column pruning predicate pushdown broadcast salting skew memory "
+    "throughput scaling manifest resume checkpoint lineage metric golden "
+    "byte identical deterministic normalization whitespace unicode"
+).split()
+_WORDS_ES = (
+    "documento datos proceso tabla columna texto archivo red sistema nube "
+    "consulta motor plan particiones velocidad memoria"
+).split()
+_KEYWORD_SNIPPETS = [
+    "", "", "", "",  # most pages have no doc-type keyword
+    "This invoice lists the amounts due.",
+    "Guarde su recibo para cualquier reclamo.",
+    "The parties sign this agreement freely.",
+    "Presente su identificación oficial DNI.",
+    "The bill and the contract arrived together.",  # order case: invoice wins
+]
+_NFD_SNIPPETS = [
+    "Café con régimen técnico",   # NFD -> NFC exercised
+    "coordinación über ñand́u",
+]
+
+EPOCH = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _sentence(rng: random.Random, n: int, pool=_WORDS_EN) -> str:
+    return " ".join(rng.choice(pool) for _ in range(n))
+
+
+def _html_page(rng: random.Random, i: int, mega: bool) -> tuple[bytes, str]:
+    """Returns (payload, lang)."""
+    lang = "es" if rng.random() < 0.2 else "en"
+    pool = _WORDS_ES if lang == "es" else _WORDS_EN
+    nav = "".join(f'<a href="/{w}">{w}</a> ' for w in rng.sample(pool, 6))
+    side = "".join(f'<li><a href="/t/{w}">{w} {w}</a></li>'
+                   for w in rng.sample(pool, 5))
+    n_paras = rng.randint(2, 5) * (60 if mega else 1)
+    paras = []
+    for p in range(n_paras):
+        body = _sentence(rng, rng.randint(18, 40), pool)
+        if rng.random() < 0.25:
+            body += " " + rng.choice(_KEYWORD_SNIPPETS)
+        if rng.random() < 0.15:
+            body += " " + rng.choice(_NFD_SNIPPETS)
+        if rng.random() < 0.2:
+            body += " Entities: &amp; &lt;tag&gt; &eacute;clair &#8212; dash."
+        paras.append(f"<p>  {body}\n  </p>")
+    title = _sentence(rng, 4, pool).title()
+    heading = f"<h1>{title}</h1>"
+    boiler_short = "".join(
+        f'<div><a href="/x">{rng.choice(pool)}</a> {rng.choice(pool)}</div>'
+        for _ in range(3))
+    html = f"""<!DOCTYPE html>
+<html><head><title>{title}</title>
+<style>body {{ color: #222; }}</style>
+<script>var tracker = "{i}";</script>
+</head><body>
+<header><a href="/">home</a> | <a href="/about">about</a></header>
+<nav>{nav}</nav>
+<aside><ul>{side}</ul></aside>
+{boiler_short}
+<main>{heading}
+{''.join(paras)}
+</main>
+<footer><a href="/privacy">privacy</a> <a href="/terms">terms</a> © example</footer>
+</body></html>"""
+    return html.encode("utf-8"), lang
+
+
+def _pdf_page(rng: random.Random, i: int) -> bytes:
+    n_pages = rng.randint(1, 3)
+    pages = []
+    for p in range(n_pages):
+        n_lines = rng.randint(4, 10)
+        lines = [_sentence(rng, rng.randint(4, 9)) for _ in range(n_lines)]
+        if rng.random() < 0.3:
+            lines[0] = lines[0] + " " + rng.choice(
+                ["invoice total", "recibo oficial", "agreement draft", ""])
+        style = rng.randrange(4)
+        if style == 0:
+            ops = content_stream_ops(lines)
+        elif style == 1:
+            ops = content_stream_ops(lines, scrambled=True)
+        elif style == 2:
+            ops = content_stream_ops(lines, scrambled=True, use_tj=True)
+        else:
+            ops = content_stream_ops(lines, two_col=True)
+        pages.append(ops)
+    return build_pdf(pages, compress=rng.random() < 0.5)
+
+
+def _image_page(rng: random.Random, i: int) -> bytes:
+    charset_words = ["INVOICE", "RECEIPT", "CONTRACT", "TOTAL", "DUE", "PAID",
+                     "BATCH", "SPARK", "ARROW", "KERNEL", "PAGE", "SCAN"]
+    n_lines = rng.randint(2, 5)
+    lines = []
+    for _ in range(n_lines):
+        words = [rng.choice(charset_words) for _ in range(rng.randint(2, 5))]
+        if rng.random() < 0.5:
+            words.append(str(rng.randint(10, 9999)))
+        lines.append(" ".join(words))
+    return png_encode(glyph_ocr.render_text_image(lines))
+
+
+def gen_rows(scale: str = "tiny", seed: int = 7):
+    """Yield pages-table row dicts deterministically."""
+    n = SCALES[scale]
+    rng = random.Random(seed)
+    pdf_block = range(int(n * 0.55), int(n * 0.55) + max(2, n // 25))
+    for i in range(n):
+        rng_i = random.Random((seed << 20) ^ i)   # per-row stream: row order
+        # and count never perturb other rows (permutation invariance tests)
+        r = rng_i.random()
+        host = "pages.example"
+        if i in pdf_block:
+            kind, host = "pdf", "pdf-farm.example"
+        elif r < 0.70:
+            kind = "html"
+        elif r < 0.85:
+            kind = "pdf"
+        elif r < 0.95:
+            kind = "image"
+        elif r < 0.985:
+            kind = "text"
+        else:
+            kind = "broken"
+        url = f"https://{host}/p/{i:07d}"
+        ts = EPOCH + dt.timedelta(minutes=(i * 37) % (8 * 24 * 60))
+        lang, text_col = "en", None
+        if kind == "html":
+            payload, lang = _html_page(rng_i, i, mega=(i % 101 == 100))
+        elif kind == "pdf":
+            payload = _pdf_page(rng_i, i)
+        elif kind == "image":
+            payload = _image_page(rng_i, i)
+        elif kind == "text":
+            payload = b""
+            text_col = ("Plain crawl text block one with several words.\n\n"
+                        + _sentence(rng_i, 25)
+                        + ("\n\n" + rng_i.choice(_KEYWORD_SNIPPETS)
+                           if rng_i.random() < 0.5 else ""))
+        else:  # broken: truncated PNG -> error-column path
+            payload = b"\x89PNG\r\n\x1a\n\x00\x00TRUNCATED"
+        yield {"url": url, "warc_ts": ts, "html": payload,
+               "text": text_col, "lang": lang}
+
+
+def gen_pandas(scale: str = "tiny", seed: int = 7):
+    import pandas as pd
+    return pd.DataFrame(list(gen_rows(scale, seed)),
+                        columns=["url", "warc_ts", "html", "text", "lang"])

@@ -1,0 +1,189 @@
+"""Unit tests for the pure-Python extraction core (SURVEY.md §5.2 item 2)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ocr_gpu_services_spark.core import glyph_ocr
+from ocr_gpu_services_spark.core.classify import classify_text
+from ocr_gpu_services_spark.core.extract import extract_document
+from ocr_gpu_services_spark.core.html_extract import extract_html
+from ocr_gpu_services_spark.core.normalize import canonical_text, collapse_ws
+from ocr_gpu_services_spark.core.pdf_extract import extract_pdf
+from ocr_gpu_services_spark.core.png import png_decode, png_encode
+from ocr_gpu_services_spark.core.sniff import sniff_content_type
+from ocr_gpu_services_spark.fixtures.gen import gen_rows
+from ocr_gpu_services_spark.fixtures.pdf_write import build_pdf, content_stream_ops
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "golden")
+
+
+# --- sniff (S2) -------------------------------------------------------------
+
+def test_sniff_magic_bytes():
+    assert sniff_content_type(b"%PDF-1.4 x", None) == "pdf"
+    assert sniff_content_type(b"\x89PNG\r\n\x1a\n....", None) == "image"
+    assert sniff_content_type(b"\xff\xd8\xff\xe0JFIF", None) == "image"
+    assert sniff_content_type(b"<html><body>hi</body></html>", None) == "html"
+    assert sniff_content_type(b"", "plain") == "text"
+    assert sniff_content_type(None, "plain") == "text"
+    assert sniff_content_type(b"", None) == "unknown"
+
+
+# --- normalize (P12) --------------------------------------------------------
+
+def test_normalize_nfc_and_ws():
+    assert collapse_ws("  a\t\n b   c ") == "a b c"
+    nfd = "café"
+    assert canonical_text(nfd) == "café"
+    assert canonical_text("a\r\nb\rc") == "a\nb\nc"
+
+
+# --- keyword classifier (A1): first-match-wins + confidence ------------------
+
+def test_classifier_order_and_confidence():
+    # 'bill' (invoice) and 'contract' both present -> invoice wins (dict order)
+    t, c = classify_text("The bill and the contract arrived")
+    assert t == "invoice" and c == pytest.approx(1 / 4)
+    # two invoice keywords -> confidence 2/4
+    t, c = classify_text("invoice bill")
+    assert (t, c) == ("invoice", pytest.approx(2 / 4))
+    # substring semantics: 'id' matches inside words (reference behavior,
+    # classification_service.py:39)
+    t, c = classify_text("identical bytes")
+    assert t == "id"
+    assert classify_text("nothing here") == ("unknown", 0.0)
+
+
+# --- html extraction (boilerplate classifier) --------------------------------
+
+def test_html_drops_boilerplate_keeps_content():
+    html = b"""<html><head><title>T</title><script>x=1</script></head><body>
+    <nav><a href="/">one</a> <a href="/">two</a> <a href="/">three</a></nav>
+    <div><a href="/x">linky link link</a></div>
+    <h1>Heading Words</h1>
+    <p>This paragraph has definitely more than sixteen words so the
+    boilerpipe number of words rules classifier keeps it as content.</p>
+    <footer><a href="/p">privacy</a></footer></body></html>"""
+    text, spans = extract_html(html)
+    assert "paragraph has definitely" in text
+    assert "Heading Words" in text
+    assert "privacy" not in text and "linky" not in text and "one" not in text
+    assert all(s.kind == "block" for s in spans)
+    # span offsets address the final text
+    for s in spans:
+        assert text[int(s.x0):int(s.x1)] == s.text
+
+
+def test_html_entities_and_nfd():
+    html = ("<p>" + "word " * 20 + "&amp; &eacute;clair café</p>").encode()
+    text, _ = extract_html(html)
+    assert "& éclair café" in text
+
+
+def test_html_link_density_boilerplate():
+    # all-link block -> dropped; >40-word successor survives even after a
+    # high-link-density predecessor (published NumWordsRules tree)
+    links = " ".join(f'<a href="/{i}">w{i}</a>' for i in range(20))
+    html = f"<body><div>{links}</div><p>{'word ' * 45}</p></body>".encode()
+    text, _ = extract_html(html)
+    assert "w3" not in text and "word" in text
+
+
+def test_html_short_block_after_link_block_is_boilerplate():
+    # <=40-word block preceded by a link farm with nothing after it is
+    # boilerplate under the NumWordsRules tree (prev_ld > 0.555 branch)
+    links = " ".join(f'<a href="/{i}">w{i}</a>' for i in range(20))
+    html = f"<body><div>{links}</div><p>{'word ' * 20}</p></body>".encode()
+    text, _ = extract_html(html)
+    assert text == ""
+
+
+# --- pdf extraction -----------------------------------------------------------
+
+LINES = [f"line {chr(65 + i)} alpha beta" for i in range(6)]
+
+
+@pytest.mark.parametrize("kw", [{}, {"scrambled": True},
+                                {"scrambled": True, "use_tj": True},
+                                {"two_col": True}])
+@pytest.mark.parametrize("compress", [False, True])
+def test_pdf_reading_order(kw, compress):
+    pdf = build_pdf([content_stream_ops(LINES, **kw)], compress=compress)
+    text, spans = extract_pdf(pdf)
+    assert text.split("\n") == LINES
+    assert all(s.kind == "line" for s in spans)
+
+
+def test_pdf_multipage_order():
+    pdf = build_pdf([content_stream_ops(["page one text"]),
+                     content_stream_ops(["page two text"])])
+    text, _ = extract_pdf(pdf)
+    assert text == "page one text\n\npage two text"
+
+
+def test_pdf_string_escapes():
+    pdf = build_pdf([content_stream_ops([r"paren (x) and slash \ ok"])])
+    text, _ = extract_pdf(pdf)
+    assert text == r"paren (x) and slash \ ok"
+
+
+# --- png + glyph OCR ----------------------------------------------------------
+
+def test_png_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(37, 53), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+def test_glyph_ocr_roundtrip():
+    atlas, charset = glyph_ocr.build_atlas()
+    lines = ["INVOICE 123 DUE", "TOTAL 99.50", "A B C"]
+    img = glyph_ocr.render_text_image(lines)
+    text, spans = glyph_ocr.ocr_page(img, atlas, charset)
+    assert text == "\n".join(lines)
+    assert [s.text for s in spans[:3]] == ["INVOICE", "123", "DUE"]
+    assert all(s.conf == 1.0 for s in spans)
+    assert all(s.kind == "word" for s in spans)
+
+
+# --- dispatch + error column ---------------------------------------------------
+
+def test_extract_document_error_degrades():
+    ct, text, spans, dt_, conf, err = extract_document(
+        b"\x89PNG\r\n\x1a\n\x00\x00TRUNCATED", None)
+    assert ct == "image" and text == "" and spans == [] and err is not None
+
+
+# --- golden fixtures: oracle is reproducible (idempotence) ---------------------
+
+def test_goldens_match_regenerated_oracle():
+    from ocr_gpu_services_spark.oracle.run import oracle_records
+    with open(os.path.join(GOLDEN, "index.json")) as f:
+        index = json.load(f)
+    recs = dict(oracle_records("tiny"))
+    assert set(recs) == set(index)
+    for url, meta in index.items():
+        with open(os.path.join(GOLDEN, meta["file"]), "rb") as f:
+            golden_bytes = f.read()
+        assert recs[url]["extracted_text"].encode("utf-8") == golden_bytes, url
+        assert recs[url]["content_type"] == meta["content_type"]
+        assert recs[url]["doc_type"] == meta["doc_type"]
+        assert recs[url]["n_spans"] == meta["n_spans"]
+
+
+def test_generator_row_independence():
+    """Per-row RNG streams: row i's payload must not depend on how many rows
+    are generated (permutation/prefix invariance, SURVEY.md §5.2 item 5)."""
+    tiny = list(gen_rows("tiny"))
+    small_prefix = []
+    for i, row in enumerate(gen_rows("small")):
+        if i >= 100:
+            break
+        small_prefix.append(row)
+    for a, b in zip(tiny[:100], small_prefix):
+        # hosts differ (pdf_block indices depend on n) but payload streams
+        # are keyed by (seed, i) only
+        assert a["html"] == b["html"] and a["text"] == b["text"]
