@@ -1,0 +1,32 @@
+"""Content-type sniff as a built-in column expression (operator S2).
+
+Spark twin of ocr_gpu_services_spark/core/sniff.py — replaces the
+reference's filename-extension whitelist
+(/root/reference/src/api/v1/routers/ocr.py:51-57) with magic-byte dispatch
+that stays entirely JVM-side (whole-stage codegen), so format routing is
+free relative to the Python kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core.sniff import CT_HTML, CT_IMAGE, CT_PDF, CT_TEXT, CT_UNKNOWN
+
+_HEX_PDF = "255044462D"          # %PDF-
+_HEX_PNG = "89504E470D0A1A0A"    # \x89PNG\r\n\x1a\n
+_HEX_JPG = "FFD8FF"
+
+
+def content_type_col(html: str = "html", text: str = "text") -> Column:
+    h = F.col(html)
+    empty = h.isNull() | (F.octet_length(h) == 0)
+    return (
+        F.when(empty & F.col(text).isNotNull(), F.lit(CT_TEXT))
+         .when(empty, F.lit(CT_UNKNOWN))
+         .when(F.hex(F.substring(h, 1, 5)) == _HEX_PDF, F.lit(CT_PDF))
+         .when(F.hex(F.substring(h, 1, 8)) == _HEX_PNG, F.lit(CT_IMAGE))
+         .when(F.hex(F.substring(h, 1, 3)) == _HEX_JPG, F.lit(CT_IMAGE))
+         .otherwise(F.lit(CT_HTML))
+    )

@@ -1,0 +1,106 @@
+"""End-to-end Spark tests: golden byte-identity, resume exactness,
+parallelism invariance (SURVEY.md §5.2 items 3 and 5)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_gpu_services_spark.plans.extract_job import extract_pipeline, run_job
+from ocr_gpu_services_spark.sources.pages import synthetic_pages
+from ocr_gpu_services_spark.sources.table import IcebergLikeTable
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "golden")
+
+
+def _load_goldens():
+    with open(os.path.join(GOLDEN, "index.json")) as f:
+        index = json.load(f)
+    texts = {}
+    for url, meta in index.items():
+        with open(os.path.join(GOLDEN, meta["file"]), "rb") as f:
+            texts[url] = f.read()
+    return index, texts
+
+
+@pytest.fixture(scope="module")
+def extracted_rows(spark):
+    df = extract_pipeline(synthetic_pages(spark, "tiny"))
+    return {r["url"]: r for r in df.collect()}
+
+
+def test_spark_matches_goldens_byte_identical(extracted_rows):
+    """THE invariant: byte-identical extracted text per url vs goldens."""
+    index, texts = _load_goldens()
+    assert set(extracted_rows) == set(index)
+    for url, meta in index.items():
+        row = extracted_rows[url]
+        assert row["extracted_text"].encode("utf-8") == texts[url], url
+        assert row["content_type"] == meta["content_type"], url
+        assert row["n_spans"] == meta["n_spans"], url
+
+
+def test_spark_classification_expr_matches_oracle(extracted_rows):
+    """A1 as JVM exprs vs the oracle's Python loop — adversarial pairing."""
+    index, _ = _load_goldens()
+    for url, meta in index.items():
+        row = extracted_rows[url]
+        assert row["doc_type"] == meta["doc_type"], url
+        assert row["doc_type_conf"] == pytest.approx(meta["doc_type_conf"]), url
+
+
+def test_error_column_degrades(extracted_rows):
+    index, _ = _load_goldens()
+    bad = [u for u, m in index.items() if m["error"]]
+    assert bad
+    for url in bad:
+        assert extracted_rows[url]["error"] is not None
+        assert extracted_rows[url]["extracted_text"] == ""
+
+
+def test_parallelism_invariance(spark, extracted_rows):
+    """Same input at a different partitioning -> byte-identical output."""
+    pages = synthetic_pages(spark, "tiny").repartition(3)
+    rows2 = {r["url"]: r for r in extract_pipeline(pages).collect()}
+    assert set(rows2) == set(extracted_rows)
+    for url, r1 in extracted_rows.items():
+        r2 = rows2[url]
+        assert r1["extracted_text"] == r2["extracted_text"]
+        assert r1["spans"] == r2["spans"]
+
+
+def test_write_resume_exactness(spark, tmp_path):
+    """Kill-and-resume: committing only some partitions, the resumed run adds
+    exactly the missing ones; bytes equal a clean one-shot run."""
+    out = str(tmp_path / "t")
+    pages = synthetic_pages(spark, "tiny")
+
+    # simulated killed run: only 3 of the days get committed
+    days = [r[0] for r in pages.select(
+        F.date_format("warc_ts", "yyyy-MM-dd")).distinct().collect()]
+    some_days = sorted(days)[:3]
+    partial = pages.filter(
+        F.date_format("warc_ts", "yyyy-MM-dd").isin(some_days))
+    m1 = run_job(spark, partial, out, run_id="killed")
+    assert m1["partitions_written"] == 3
+
+    # resume: remaining days only
+    m2 = run_job(spark, pages, out, run_id="resumed", resume=True)
+    assert m2["partitions_written"] == len(days) - 3
+    # resumed run must not have re-extracted committed days
+    assert m2["rows_out"] == m2["rows_written"]
+
+    table = IcebergLikeTable(out)
+    got = {r["url"]: r["extracted_text"]
+           for r in table.read(spark).collect()}
+    _, texts = _load_goldens()
+    assert set(got) == set(texts)
+    for url, t in texts.items():
+        assert got[url].encode("utf-8") == t, url
+    assert table.total_committed_rows() == len(texts)
+
+    # idempotence: resuming again writes nothing
+    m3 = run_job(spark, pages, out, run_id="noop", resume=True)
+    assert m3["partitions_written"] == 0
+    assert table.read(spark).count() == len(texts)
