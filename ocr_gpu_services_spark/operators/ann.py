@@ -134,3 +134,43 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "rank", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (dedup family, driver mandate)
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine near-dup detection (the oracle-checked
+    correctness baseline).  At corpus scale this O(N^2) form is replaced by
+    the same LSH bucketing as ``lsh_topk`` (bucket equi-join, then this
+    exact re-rank inside buckets); the threshold semantics are identical.
+    All math stays JVM-side (zip_with/aggregate in DOUBLE, sequential fold,
+    rounded to 4 decimals; ties impossible since output is a filter)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(emb_col).alias("emb_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          F.col(emb_col).alias("emb_b"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_sim_col("emb_a", "emb_b"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def embedding_dup_pairs_sql(table: str = "embeddings",
+                            threshold: float = 0.99) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM {table})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / sqrt(list_dot_product(a.v, a.v)
+                        * list_dot_product(b.v, b.v)), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / sqrt(list_dot_product(a.v, a.v)
+                       * list_dot_product(b.v, b.v)), 4) >= {threshold}
+    """

@@ -62,6 +62,19 @@ def exact_dup_groups_sql(table: str = "documents") -> str:
 
 def shingles_col(text_col: str, n: int = 3):
     toks = tokens_col(F.col(text_col))
+    return shingles_from_tokens(toks, n)
+
+
+def shingles_from_tokens(toks, n: int = 3):
+    """Shingles over an ALREADY-MATERIALIZED token array column.
+
+    Callers must bind the tokenizer to a real column first
+    (``withColumn('_toks', tokens_col(...))``): a lambda that embeds the
+    tokenizer expression re-evaluates the full regex split for every
+    ``element_at`` access (3x per shingle -> O(len * tokens) per doc,
+    measured 38 s for 300k shingles), while an attribute reference makes
+    each access O(1) on the cached array.
+    """
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -70,6 +83,15 @@ def shingles_col(text_col: str, n: int = 3):
                 " ", *[F.element_at(toks, (i + k + 1).cast("int"))
                        for k in range(n)]))
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def _exploded_shingles(docs: DataFrame, text_col: str,
+                       distinct: bool = False) -> DataFrame:
+    toks = docs.withColumn("_toks", tokens_col(F.col(text_col)))
+    sh = shingles_from_tokens(F.col("_toks"))
+    if distinct:
+        sh = F.array_distinct(sh)
+    return toks.select("doc_id", F.explode(sh).alias("sh"))
 
 
 def shingles_sql(text_expr: str, n: int = 3) -> str:
@@ -98,19 +120,26 @@ def h32_sql(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    """Per-row SimHash: NO explode, NO groupBy — each doc folds its own
+    token-hash array with higher-order functions, so the operator is pure
+    map-side (zero shuffle) and scales linearly with corpus bytes.  The
+    DuckDB oracle keeps the equivalent explode+groupBy formulation; the
+    integer math is identical."""
     # 16-bit token hash from the first 4 hex chars of md5
-    v = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
-    aggs = []
-    for i in range(SIMHASH_BITS):
-        bit = F.floor(v / (2 ** i)) % 2
-        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i}"))
-    sums = toks.groupBy("doc_id").agg(*aggs)
+    hv = F.transform(
+        tokens_col(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"))
+    d = (docs.withColumn("_hv", hv)
+         # explode semantics: docs with zero tokens produce no output row
+         .filter(F.size("_hv") > 0))
     sh = F.lit(0).cast("bigint")
     for i in range(SIMHASH_BITS):
-        sh = sh + F.when(F.col(f"s{i}") > 0, 2 ** i).otherwise(0)
-    return sums.select("doc_id", sh.alias("simhash"))
+        bitsum = F.aggregate(
+            F.col("_hv"), F.lit(0),
+            lambda acc, v: acc + F.when(
+                F.floor(v / (2 ** i)) % 2 == 1, 1).otherwise(-1))
+        sh = sh + F.when(bitsum > 0, 2 ** i).otherwise(0)
+    return d.select("doc_id", sh.alias("simhash"))
 
 
 def simhash_sql(table: str = "documents", where: str = "TRUE") -> str:
@@ -135,11 +164,22 @@ def simhash_sql(table: str = "documents", where: str = "TRUE") -> str:
 # ---------------------------------------------------------------------------
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(text_col)).alias("sh"))
-    mins = sh.groupBy("doc_id").agg(*[
-        F.min(_h32_spark(F.concat(F.lit(f"{k}:"), F.col("sh"))))
-         .alias(f"m{k}") for k in range(N_MINHASH)])
+    # per-row minhash signature: NO explode/groupBy — each doc maps its own
+    # shingle array through k salted hashes and takes array_min, so the
+    # signature stage is pure map-side; the ONLY shuffle in the whole
+    # operator is the band-bucket equi-join below (the point of LSH: at
+    # corpus scale pairwise work touches candidate buckets, never N^2)
+    d = (docs.withColumn("_toks", tokens_col(F.col(text_col)))
+         .withColumn("_sh", shingles_from_tokens(F.col("_toks"))))
+    def salted_min(k: int):
+        # NB: must be a 1-arg lambda — F.transform treats a 2-arg lambda
+        # (e.g. `lambda s, k=k`) as the (element, index) form
+        return F.array_min(F.transform(
+            F.col("_sh"),
+            lambda s: _h32_spark(F.concat(F.lit(f"{k}:"), s))))
+
+    mins = d.select("doc_id", *[
+        salted_min(k).alias(f"m{k}") for k in range(N_MINHASH)])
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = []
     for b in range(N_BANDS):
@@ -191,9 +231,7 @@ def minhash_lsh_pairs_sql(table: str = "documents",
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         min_jaccard: float = 0.0) -> DataFrame:
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_col(text_col))).alias("sh"))
+    sh = _exploded_shingles(docs, text_col, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, "sh")

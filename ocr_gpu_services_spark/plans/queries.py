@@ -29,6 +29,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + spread, for CPU-heavy per-row operators (tokenize/hash/
+    shingle).  The sf* tables are single-file single-row-group parquet, so
+    the scan yields 1-2 splits and the map-side work would run on 2 of 32
+    cores.  At cluster scale the same table has thousands of splits and
+    the repartition is unnecessary; locally one narrow round-robin shuffle
+    of a few MB buys full parallelism for the expensive stage above it."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
 
@@ -61,7 +72,7 @@ _DT_SQL, _CONF_SQL = classify_case_sql("text")
     FROM documents""")
 def keyword_classify(spark, sf_dir):
     dt, conf = doc_type_cols("text")
-    return _t(spark, sf_dir, "documents").select(
+    return _tw(spark, sf_dir, "documents").select(
         "doc_id", dt.alias("doc_type"), conf.alias("doc_type_conf"))
 
 
@@ -69,7 +80,7 @@ def keyword_classify(spark, sf_dir):
     SELECT doc_id, {clean_text_sql('text')} AS cleaned
     FROM documents WHERE doc_id < 200""")
 def text_clean(spark, sf_dir):
-    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (_tw(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
             .select("doc_id", clean_text_col(F.col("text")).alias("cleaned")))
 
 
@@ -85,7 +96,7 @@ _QS = textstats.quality_sql("text")
     FROM documents""")
 def quality_score(spark, sf_dir):
     cols = textstats.quality_cols("text")
-    return _t(spark, sf_dir, "documents").select(
+    return _tw(spark, sf_dir, "documents").select(
         "doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
@@ -93,7 +104,7 @@ def quality_score(spark, sf_dir):
     SELECT doc_id, lang, {textstats.langid_sql('text')} AS lang_pred
     FROM documents""")
 def langid(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    return _tw(spark, sf_dir, "documents").select(
         "doc_id", "lang", textstats.langid_col("text").alias("lang_pred"))
 
 
@@ -101,7 +112,7 @@ def langid(spark, sf_dir):
     SELECT doc_id, {textstats.fingerprint_sql('text')} AS fingerprint
     FROM documents""")
 def fingerprint(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    return _tw(spark, sf_dir, "documents").select(
         "doc_id", textstats.fingerprint_col("text").alias("fingerprint"))
 
 
@@ -115,7 +126,7 @@ def fingerprint(spark, sf_dir):
 def dedup_exact(spark, sf_dir):
     # corpus with duplicates by construction (every third doc re-crawled
     # under a new id) so the >1 group path is actually exercised
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tw(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 3 == 0) \
            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     return dedup.exact_dup_groups(d.unionByName(dup))
@@ -124,7 +135,7 @@ def dedup_exact(spark, sf_dir):
 @q("simhash16", dedup.simhash_sql("documents", "doc_id < 200"))
 def simhash16(spark, sf_dir):
     return dedup.simhash(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+        _tw(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
 
 @q("minhash_lsh", dedup.minhash_lsh_pairs_sql(
@@ -133,7 +144,7 @@ def simhash16(spark, sf_dir):
 def minhash_lsh(spark, sf_dir):
     # near-dup corpus: every 7th doc duplicated under a new id guarantees
     # LSH candidate pairs exist; organic near-dups may add more
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tw(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 7 == 0) \
            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     return dedup.minhash_lsh_pairs(d.unionByName(dup))
@@ -142,7 +153,7 @@ def minhash_lsh(spark, sf_dir):
 @q("ngram_jaccard", dedup.ngram_jaccard_pairs_sql("documents", "doc_id < 40"))
 def ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40))
+        _tw(spark, sf_dir, "documents").filter(F.col("doc_id") < 40))
 
 
 @q("word_overlap", dedup.word_overlap_pairs_sql("documents", "doc_id < 30"))
@@ -451,3 +462,131 @@ def events_sessionize(spark, sf_dir):
     return (e.withColumn("new_session", new_s)
             .filter(F.col("new_session") == 1)
             .groupBy("user_id").agg(F.count("*").alias("n_sessions")))
+
+
+# ===========================================================================
+# round-1 widening: token counting, NFC canonicalization (P12),
+# embedding-cosine near-dup, detection-threshold filter (P9),
+# multimodal metadata kernel (mapInPandas plumbing)
+# ===========================================================================
+
+from ..functions.textops import (  # noqa: E402
+    bpe_token_count_col, bpe_token_count_sql, nfc_canon_sql, nfc_canon_udf,
+    ws_token_count_sql)
+
+
+@q("token_count", f"""
+    SELECT doc_id, {ws_token_count_sql('text')} AS ws_tokens,
+           {bpe_token_count_sql('text')} AS bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents""")
+def token_count(spark, sf_dir):
+    return _tw(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("ws_tokens"),
+        bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars"))
+
+
+@q("nfc_canon", f"""
+    SELECT doc_id,
+           {nfc_canon_sql("'Cafe' || chr(769) || chr(9) || ' ' || text"
+                          " || '  e' || chr(769)")} AS canon
+    FROM documents WHERE doc_id < 200""")
+def nfc_canon(spark, sf_dir):
+    # prepend/append decomposed sequences + messy whitespace so the NFC +
+    # collapse rules are actually exercised (documents text is NFC-clean)
+    messy = F.concat(F.lit("Café\t "), F.col("text"),
+                     F.lit("  é"))
+    canon = nfc_canon_udf()
+    return (_tw(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+            .select("doc_id", canon(messy).alias("canon")))
+
+
+@q("dedup_embedding", ann.embedding_dup_pairs_sql(
+    "(SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 5 = 0)"))
+def dedup_embedding(spark, sf_dir):
+    # corpus with re-embedded duplicates by construction (every 5th vector
+    # re-ingested under a new id) -> cosine 1.0 pairs guaranteed
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return ann.embedding_dup_pairs(e.unionByName(dup))
+
+
+_DET_CONF = ("CAST(" + dedup.h32_sql(
+    "CAST(image_id AS VARCHAR) || ':c:' || CAST(box_id AS VARCHAR)")
+    + " % 10000 AS DOUBLE) / 10000.0")
+_DET_CLASS = ("'class' || CAST(" + dedup.h32_sql(
+    "CAST(image_id AS VARCHAR) || ':l:' || CAST(box_id AS VARCHAR)")
+    + " % 5 AS VARCHAR)")
+
+
+@q("detect_threshold", f"""
+    SELECT image_id, box_id, x, y, w, h, conf, label FROM (
+      SELECT *, {_DET_CONF} AS conf, {_DET_CLASS} AS label
+      FROM ({_BOX_SQL}))
+    WHERE conf >= 0.99 AND label IN ('class0', 'class2')""")
+def detect_threshold(spark, sf_dir):
+    """P9: detection score threshold (>= 0.99, the reference's Faster-RCNN
+    cut, /root/reference/src/ml/document_detector/main.py:150) + class
+    whitelist mask (utils/annotations.py:5-35) as pure relational filters
+    over deterministic part-derived detections."""
+    from ..operators.boxes import _h32
+    bx = boxes.synthetic_boxes(_t(spark, sf_dir, "part"))
+    key = lambda tag: F.concat(F.col("image_id").cast("string"),  # noqa: E731
+                               F.lit(f":{tag}:"),
+                               F.col("box_id").cast("string"))
+    det = bx.withColumn(
+        "conf", (_h32(key("c")) % 10000).cast("double") / 10000.0
+    ).withColumn(
+        "label", F.concat(F.lit("class"), (_h32(key("l")) % 5).cast("string")))
+    return (det.filter((F.col("conf") >= 0.99)
+                       & F.col("label").isin("class0", "class2"))
+            .select("image_id", "box_id", "x", "y", "w", "h", "conf",
+                    "label"))
+
+
+@q("multimodal_meta")  # binary-column kernel; pages not in the oracle views
+def multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: treat image/pdf/html payloads as opaque BINARY +
+    typed metadata, decoded batch-wise in mapInPandas (Arrow batches, no
+    per-row Python driver loop).  PNG decode is the engine's own pure-numpy
+    implementation (core/png.py) — the stand-in for the stubbed cv2/PIL
+    decode the north star allows."""
+    import pandas as pd
+
+    from ..core.png import png_decode
+    from ..core.sniff import sniff_content_type
+
+    pages = synthetic_pages(spark, "tiny")
+
+    def meta_batches(it):
+        for pdf in it:
+            ct = [sniff_content_type(h, t)
+                  for h, t in zip(pdf["html"], pdf["text"])]
+            w, h_, px, err = [], [], [], []
+            for payload, c in zip(pdf["html"], ct):
+                wi = hi = lum = e = None
+                if c == "image":
+                    try:  # rows never throw: error column, not a crash
+                        img = png_decode(bytes(payload))
+                        wi, hi = int(img.shape[1]), int(img.shape[0])
+                        lum = float(img.mean())
+                    except Exception as ex:
+                        e = f"decode: {ex}"
+                w.append(wi); h_.append(hi); px.append(lum); err.append(e)
+            yield pd.DataFrame({
+                "url": pdf["url"], "content_type": ct,
+                "n_bytes": [len(b) if b is not None else 0
+                            for b in pdf["html"]],
+                "width": pd.array(w, dtype="Int32"),
+                "height": pd.array(h_, dtype="Int32"),
+                "mean_luma": pd.array(px, dtype="Float64"),
+                "error": err})
+
+    return pages.mapInPandas(
+        meta_batches,
+        "url string, content_type string, n_bytes long, "
+        "width int, height int, mean_luma double, error string")
