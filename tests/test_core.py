@@ -187,3 +187,35 @@ def test_generator_row_independence():
         # hosts differ (pdf_block indices depend on n) but payload streams
         # are keyed by (seed, i) only
         assert a["html"] == b["html"] and a["text"] == b["text"]
+
+
+# ---------------------------------------------------------------------------
+# round-1 widening: NFC canonicalizer + BPE-ish token pattern edge cases
+# ---------------------------------------------------------------------------
+
+def test_bpe_pattern_matches_python_re():
+    """The shared pattern must tokenize identically under Python re (an
+    RE2/Java-compatible subset check for the cross-engine oracle)."""
+    import re
+    from ocr_gpu_services_spark.functions.textops import BPE_PATTERN
+    cases = [
+        ("Hola, mundo 42!", 6),       # hola , mundo 4 2 !
+        ("", 0),
+        ("   ", 0),
+        ("a-b_c", 5),                 # a - b _ c
+        ("años 2024", 5),             # años 2 0 2 4
+    ]
+    for text, want in cases:
+        got = len(re.findall(BPE_PATTERN, text.lower()))
+        assert got == want, (text, got, want)
+
+
+def test_nfc_canon_rule_is_deterministic():
+    import unicodedata
+    import re
+    ws = re.compile("[ \t\n\r\f]+")
+    s = "Café\t  x\n\ny "
+    canon = unicodedata.normalize("NFC", ws.sub(" ", s).strip())
+    assert canon == "Café x y"
+    # idempotent
+    assert unicodedata.normalize("NFC", ws.sub(" ", canon).strip()) == canon
