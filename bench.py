@@ -29,9 +29,11 @@ from ocr_gpu_services_spark.sources.pages import (  # noqa
 
 BENCH_QUERIES = [
     "keyword_classify", "text_clean", "quality_score", "langid",
+    "token_count", "nfc_canon",
     "dedup_exact", "simhash16", "minhash_lsh", "ngram_jaccard",
-    "ann_cosine_topk", "ann_lsh_topk",
-    "signature_filter_p7", "iou_pairs", "nms_greedy",
+    "dedup_embedding", "ann_cosine_topk", "ann_lsh_topk",
+    "signature_filter_p7", "detect_threshold", "iou_pairs", "nms_greedy",
+    "multimodal_meta",
     "pricing_summary", "top_orders", "join_5way_volume",
     "window_topk", "events_sessionize",
 ]
@@ -52,6 +54,10 @@ def main():
     # headline: extraction docs/sec (kernel + classification, count sink)
     pages = read_pages(spark, PAGES_CACHE)
     n_docs = pages.count()
+    # untimed warmup: spawn python workers + JIT so the headline reports
+    # steady-state throughput (the regime a multi-hour 100 TB job runs in)
+    (extract_pipeline(pages.sample(0.08, seed=1))
+     .select(F.count("*")).collect())
     t0 = time.time()
     extracted = extract_pipeline(pages)
     # force full materialization of every column incl. text/spans
