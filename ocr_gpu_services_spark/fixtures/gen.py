@@ -19,7 +19,8 @@ from ..core import glyph_ocr
 from ..core.png import png_encode
 from .pdf_write import build_pdf, content_stream_ops
 
-SCALES = {"tiny": 200, "small": 5000, "bench": 50000}
+SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
+          "xbench": 400000}  # scaling-evidence corpus: compute >> fixed costs
 
 _WORDS_EN = (
     "pipeline spark batch arrow kernel parquet shuffle partition executor "
@@ -128,12 +129,18 @@ def _image_page(rng: random.Random, i: int) -> bytes:
     return png_encode(glyph_ocr.render_text_image(lines))
 
 
-def gen_rows(scale: str = "tiny", seed: int = 7):
-    """Yield pages-table row dicts deterministically."""
+def gen_rows(scale: str = "tiny", seed: int = 7,
+             start: int = 0, stop: int | None = None):
+    """Yield pages-table row dicts deterministically.
+
+    ``start``/``stop`` select a row-id slice WITHOUT changing any row's
+    content (each row has its own seeded rng stream), so shards generated
+    in parallel concatenate to exactly the sequential corpus."""
     n = SCALES[scale]
-    rng = random.Random(seed)
+    if stop is None:
+        stop = n
     pdf_block = range(int(n * 0.55), int(n * 0.55) + max(2, n // 25))
-    for i in range(n):
+    for i in range(start, min(stop, n)):
         rng_i = random.Random((seed << 20) ^ i)   # per-row stream: row order
         # and count never perturb other rows (permutation invariance tests)
         r = rng_i.random()

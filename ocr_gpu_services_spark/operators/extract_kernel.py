@@ -64,9 +64,9 @@ OUT_SCHEMA_DDL = (
 def _chunks_by_bytes(batch: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
     """Split an input batch so each chunk carries <= MAX_BATCH_BYTES of
     payload (always >= 1 row)."""
+    import pyarrow.compute as pc
     html = batch.column(batch.schema.get_field_index("html"))
-    sizes = [len(v) if (v := html[i].as_py()) is not None else 0
-             for i in range(batch.num_rows)]
+    sizes = pc.coalesce(pc.binary_length(html), 0).to_pylist()
     start, acc = 0, 0
     for i, s in enumerate(sizes):
         if acc + s > MAX_BATCH_BYTES and i > start:
@@ -79,32 +79,56 @@ def _chunks_by_bytes(batch: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
 
 def _extract_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     get_atlas()  # model load: once per worker, before the first batch
+    ts_type = OUT_SCHEMA_ARROW.field("warc_ts").type
     for batch in it:
         for chunk in _chunks_by_bytes(batch):
-            cols = {n: chunk.column(chunk.schema.get_field_index(n))
-                    for n in ("url", "warc_ts", "html", "text")}
-            urls, tss = [], []
-            cts, texts, spans_col, errs = [], [], [], []
-            for i in range(chunk.num_rows):
-                payload = cols["html"][i].as_py()
-                pre_text = cols["text"][i].as_py()
+            idx = chunk.schema.get_field_index
+            # passthrough columns stay Arrow buffers end-to-end (zero-copy;
+            # per-row .as_py() of 10^12 urls/timestamps would cost more
+            # than the extraction itself)
+            url_col = chunk.column(idx("url"))
+            ts_col = chunk.column(idx("warc_ts"))
+            if ts_col.type != ts_type:  # tz-aware us -> naive us, same tick
+                ts_col = ts_col.cast(ts_type)
+            # payload columns: one vectorized C conversion, not N as_py()
+            payloads = chunk.column(idx("html")).to_pylist()
+            pre_texts = chunk.column(idx("text")).to_pylist()
+            cts, texts, errs = [], [], []
+            # spans built columnar (flat field lists + list offsets): one
+            # StructArray/ListArray construction per chunk instead of
+            # N_rows x N_spans python dict conversions
+            offs = [0]
+            s_text, s_conf = [], []
+            s_x0, s_y0, s_x1, s_y1, s_kind = [], [], [], [], []
+            for payload, pre_text in zip(payloads, pre_texts):
                 # doc-type classification is NOT done here: it is a pure
                 # relational expression (operator A1) applied JVM-side in
                 # the pipeline — the kernel only does what needs Python
                 ct, text, spans, _dt, _conf, error = extract_document(
                     payload, pre_text)
-                urls.append(cols["url"][i].as_py())
-                tss.append(cols["warc_ts"][i].as_py())
                 cts.append(ct)
                 texts.append(text)
-                spans_col.append([s.as_dict() for s in spans])
                 errs.append(error)
+                for s in spans:
+                    s_text.append(s.text); s_conf.append(s.conf)
+                    s_x0.append(s.x0); s_y0.append(s.y0)
+                    s_x1.append(s.x1); s_y1.append(s.y1)
+                    s_kind.append(s.kind)
+                offs.append(len(s_text))
+            struct = pa.StructArray.from_arrays(
+                [pa.array(s_text, pa.string()),
+                 pa.array(s_conf, pa.float64()),
+                 pa.array(s_x0, pa.float64()), pa.array(s_y0, pa.float64()),
+                 pa.array(s_x1, pa.float64()), pa.array(s_y1, pa.float64()),
+                 pa.array(s_kind, pa.string())],
+                fields=list(SPAN_TYPE))
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), struct)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(urls, pa.string()),
-                 pa.array(tss, pa.timestamp("us")),
+                [url_col, ts_col,
                  pa.array(cts, pa.string()),
                  pa.array(texts, pa.string()),
-                 pa.array(spans_col, pa.list_(SPAN_TYPE)),
+                 spans_arr,
                  pa.array(errs, pa.string())],
                 schema=OUT_SCHEMA_ARROW)
 

@@ -39,3 +39,48 @@ def write_synthetic_pages(spark: SparkSession, scale: str, path: str,
         df = df.repartition(partitions)
     df.write.mode("overwrite").parquet(path)
     return path
+
+
+def write_pages_sharded(scale: str, path: str, files: int = 128,
+                        procs: int = 16, seed: int = 7) -> str:
+    """Materialize a large synthetic pages corpus as MANY parquet files
+    (multiprocess generation, no Spark session needed).
+
+    The sharded layout is the point: 128 files = 128 scan splits, which is
+    what a real crawl table gives every executor to chew on — no
+    repartition crutch required to get parallelism at the scan."""
+    import multiprocessing as mp
+    import os
+
+    from ..fixtures.gen import SCALES
+
+    os.makedirs(path, exist_ok=True)
+    n = SCALES[scale]
+    bounds = [(scale, seed, n * k // files, n * (k + 1) // files,
+               os.path.join(path, f"part-{k:05d}.parquet"))
+              for k in range(files)]
+    with mp.Pool(procs) as pool:
+        pool.map(_write_shard, bounds)
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+def _write_shard(args) -> None:
+    scale, seed, start, stop, out = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..fixtures.gen import gen_rows
+
+    cols = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    for r in gen_rows(scale, seed, start, stop):
+        for k in cols:
+            cols[k].append(r[k])
+    table = pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+        "html": pa.array(cols["html"], pa.binary()),
+        "text": pa.array(cols["text"], pa.string()),
+        "lang": pa.array(cols["lang"], pa.string()),
+    })
+    pq.write_table(table, out, compression="zstd")

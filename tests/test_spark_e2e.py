@@ -104,3 +104,21 @@ def test_write_resume_exactness(spark, tmp_path):
     m3 = run_job(spark, pages, out, run_id="noop", resume=True)
     assert m3["partitions_written"] == 0
     assert table.read(spark).count() == len(texts)
+
+
+def test_plan_pushdown_and_pruning(spark):
+    """Plan-quality guard: a filtered 2-column projection over the parquet
+    scan must push the predicate into the scan and prune to exactly the
+    referenced columns (at 100 TB this is the difference between reading
+    2 columns of 1 partition and reading everything)."""
+    import os
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.01")
+    from pyspark.sql import functions as F
+    df = (spark.read.parquet(f"{sf}/documents.parquet")
+          .filter(F.col("doc_id") < 200)
+          .select("doc_id", F.length("text").alias("n")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,200)" in plan, plan
+    # ReadSchema must carry only doc_id + text, not lang/url/etc.
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in rs and "text" in rs and "lang" not in rs, rs
