@@ -25,7 +25,7 @@ from ocr_gpu_services_spark.plans.extract_job import extract_pipeline  # noqa
 from ocr_gpu_services_spark.plans.queries import QUERIES  # noqa
 from ocr_gpu_services_spark.session import get_spark  # noqa
 from ocr_gpu_services_spark.sources.pages import (  # noqa
-    read_pages, write_synthetic_pages)
+    read_pages, write_pages_sharded)
 
 BENCH_QUERIES = [
     "keyword_classify", "text_clean", "quality_score", "langid",
@@ -38,25 +38,24 @@ BENCH_QUERIES = [
     "window_topk", "events_sessionize",
 ]
 
-PAGES_CACHE = os.environ.get("SPARK_GRAFT_PAGES_DIR",
-                             "/tmp/spark_graft_pages_bench")
-
-
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "bench")
-    spark = get_spark(app="bench", cores=cpus)
-
-    if not os.path.exists(os.path.join(PAGES_CACHE, "_SUCCESS")):
-        write_synthetic_pages(spark, scale, PAGES_CACHE, partitions=cpus * 4)
+    scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "xbench")
+    pages_cache = os.environ.get("SPARK_GRAFT_PAGES_DIR",
+                                 f"/tmp/spark_graft_pages_{scale}")
+    if not os.path.exists(os.path.join(pages_cache, "_SUCCESS")):
+        # multiprocess sharded gen (128 files = 128 scan splits), no Spark
+        write_pages_sharded(scale, pages_cache, files=128,
+                            procs=min(16, os.cpu_count() or 8))
+    spark = get_spark(app="bench", cores=cpus, shuffle_partitions=128)
 
     # headline: extraction docs/sec (kernel + classification, count sink)
-    pages = read_pages(spark, PAGES_CACHE)
+    pages = read_pages(spark, pages_cache)
     n_docs = pages.count()
     # untimed warmup: spawn python workers + JIT so the headline reports
     # steady-state throughput (the regime a multi-hour 100 TB job runs in)
-    (extract_pipeline(pages.sample(0.08, seed=1))
+    (extract_pipeline(pages.sample(0.02, seed=1))
      .select(F.count("*")).collect())
     t0 = time.time()
     extracted = extract_pipeline(pages)
