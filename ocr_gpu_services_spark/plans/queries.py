@@ -590,3 +590,97 @@ def multimodal_meta(spark, sf_dir):
         meta_batches,
         "url string, content_type string, n_bytes long, "
         "width int, height int, mean_luma double, error string")
+
+
+# ===========================================================================
+# reference-parity widening 2: J2 multiset shared-vocab, U6/A7 deskew
+# angle, U3 QR record shape
+# ===========================================================================
+
+from ..operators.textstats import tokens_col, tokens_sql  # noqa: E402
+
+
+@q("shared_vocab_multiset", f"""
+    WITH a AS (
+      SELECT doc_id, w, count(*) AS cnt_a FROM (
+        SELECT doc_id, unnest({tokens_sql('text')}) AS w
+        FROM documents WHERE doc_id < 20) GROUP BY doc_id, w),
+    ref AS (
+      SELECT w, count(*) AS ref_cnt FROM (
+        SELECT unnest({tokens_sql('text')}) AS w
+        FROM documents WHERE doc_id = 100) GROUP BY w)
+    SELECT doc_id,
+           CAST(sum(least(cnt_a, ref_cnt)) AS BIGINT) AS n_shared,
+           count(*) AS n_shared_words
+    FROM a JOIN ref USING (w) GROUP BY doc_id""")
+def shared_vocab_multiset(spark, sf_dir):
+    """J2 (reference `Counter(x) & Counter(y)` multiset intersection,
+    /root/reference/src/ml/classifier/utils/filters.py:47-110): each word
+    is shared up to min(count_sample, count_reference) occurrences.
+    Expressed as counts + least() — a broadcast equi-join on the word, no
+    window, no kernel; the occurrence-level keep-list the reference builds
+    materializes here only as the min-count sum."""
+    docs = _t(spark, sf_dir, "documents")
+    a = (docs.filter(F.col("doc_id") < 20)
+         .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+         .groupBy("doc_id", "w").agg(F.count("*").alias("cnt_a")))
+    ref = (docs.filter(F.col("doc_id") == 100)
+           .select(F.explode(tokens_col(F.col("text"))).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("ref_cnt")))
+    return (a.join(F.broadcast(ref), "w")
+            .groupBy("doc_id")
+            .agg(F.sum(F.least("cnt_a", "ref_cnt")).cast("bigint")
+                  .alias("n_shared"),
+                 F.count("*").alias("n_shared_words")))
+
+
+@q("deskew_angle", f"""
+    WITH bx AS ({_BOX_SQL}),
+    largest AS (
+      SELECT image_id, arg_max(box_id, area) AS box_id, max(area) AS area
+      FROM bx GROUP BY image_id)
+    SELECT b.image_id, b.box_id,
+           round(CASE WHEN degrees(atan2(b.h, b.w)) - 90.0 < -45.0
+                      THEN degrees(atan2(b.h, b.w))
+                      ELSE degrees(atan2(b.h, b.w)) - 90.0 END, 4)
+             AS rotation_deg
+    FROM bx b JOIN largest l
+      ON l.image_id = b.image_id AND l.box_id = b.box_id
+    WHERE b.image_id < 500""")
+def deskew_angle(spark, sf_dir):
+    """U6+A7 (cv2 deskew, /root/reference/src/infrastructure/utils/
+    image_processing.py:12-48): largest contour (A7 max_by on area) ->
+    minAreaRect angle -> the reference's `if angle < -45: angle += 90`
+    correction, as pure expressions over the deterministic boxes (a box's
+    minAreaRect angle is atan2(h, w) - 90 for axis-aligned rects)."""
+    bx = boxes.synthetic_boxes(_t(spark, sf_dir, "part")) \
+        .filter(F.col("image_id") < 500)
+    largest = (bx.groupBy("image_id")
+               .agg(F.max_by("box_id", "area").alias("box_id")))
+    raw = F.degrees(F.atan2(F.col("h"), F.col("w"))) - F.lit(90.0)
+    angle = F.when(raw < -45.0, raw + 90.0).otherwise(raw)
+    return (bx.join(largest, ["image_id", "box_id"])
+            .select("image_id", "box_id",
+                    F.round(angle, 4).alias("rotation_deg")))
+
+
+@q("qr_extract", """
+    SELECT doc_id, substr(text, 4) AS data, 'QRCODE' AS type
+    FROM (SELECT doc_id,
+                 'QR:' || CAST(doc_id * 37 AS VARCHAR) AS text
+          FROM documents WHERE doc_id % 11 = 0)
+    WHERE text LIKE 'QR:%'""")
+def qr_extract(spark, sf_dir):
+    """U3 (pyzbar QR decode, /root/reference/src/infrastructure/services/
+    optional_services.py:64-73): record shape {data: str(utf-8), type}.
+    The decode itself is a library stub (no pyzbar here); the Spark-side
+    record plumbing — marker detect + utf-8 decode as built-ins — is real:
+    synthetic payloads carry a deterministic 'QR:<payload>' marker."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    payload = F.encode(
+        F.concat(F.lit("QR:"), (F.col("doc_id") * 37).cast("string")),
+        "UTF-8")
+    qr = d.select("doc_id", F.decode(payload, "UTF-8").alias("text"))
+    return (qr.filter(F.col("text").startswith("QR:"))
+            .select("doc_id", F.substring("text", 4, 2 ** 30).alias("data"),
+                    F.lit("QRCODE").alias("type")))
