@@ -31,6 +31,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
+from .html_tokenize import feed_events
 from .normalize import canonical_text, collapse_ws
 from .spans import Span
 
@@ -68,9 +69,11 @@ class _Block:
         return text, words, link_density
 
 
-class _BlockParser(HTMLParser):
+class _BlockHandler:
+    """Event consumer shared by the fast tokenizer (production path) and
+    the stdlib HTMLParser (cross-check twin in tests)."""
+
     def __init__(self):
-        super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, int, float, str]] = []  # (text, words, ld, tag)
         self._skip_depth = 0
         self._link_depth = 0
@@ -144,12 +147,26 @@ def _is_content(prev, curr, nxt) -> bool:
     return True
 
 
-def extract_html(payload: bytes) -> tuple[str, list[Span]]:
+class _StdlibBlockParser(_BlockHandler, HTMLParser):
+    """stdlib-tokenized twin (tests assert corpus-wide equality with the
+    fast tokenizer; see html_tokenize.py)."""
+
+    def __init__(self):
+        _BlockHandler.__init__(self)
+        HTMLParser.__init__(self, convert_charrefs=True)
+
+
+def extract_html(payload: bytes,
+                 _stdlib_tokenizer: bool = False) -> tuple[str, list[Span]]:
     """Extract main content text + block spans from raw HTML bytes."""
     raw = payload.decode("utf-8", errors="replace")
-    parser = _BlockParser()
-    parser.feed(raw)
-    parser.close()
+    if _stdlib_tokenizer:
+        parser = _StdlibBlockParser()
+        parser.feed(raw)
+        parser.close()
+    else:
+        parser = _BlockHandler()
+        feed_events(raw, parser)
     parser._flush(parser._cur.tag)
 
     blocks = parser.blocks

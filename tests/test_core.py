@@ -219,3 +219,45 @@ def test_nfc_canon_rule_is_deterministic():
     assert canon == "Café x y"
     # idempotent
     assert unicodedata.normalize("NFC", ws.sub(" ", canon).strip()) == canon
+
+
+def test_fast_tokenizer_matches_stdlib():
+    """The production tokenizer (html_tokenize.feed_events) must produce
+    the exact block stream the stdlib HTMLParser twin produces over the
+    whole tiny corpus + targeted edge cases (entities, CDATA script/style,
+    self-closing skip tags, comments, quoted '>' in attributes)."""
+    from ocr_gpu_services_spark.core.html_extract import (
+        _BlockHandler, _StdlibBlockParser)
+    from ocr_gpu_services_spark.core.html_tokenize import feed_events
+    from ocr_gpu_services_spark.fixtures.gen import gen_rows
+
+    def fast(raw):
+        h = _BlockHandler(); feed_events(raw, h); h._flush(h._cur.tag)
+        return h.blocks
+
+    def std(raw):
+        p = _StdlibBlockParser(); p.feed(raw); p.close()
+        p._flush(p._cur.tag)
+        return p.blocks
+
+    edges = [
+        "<html><body><iframe/><p>after iframe</p></body></html>",
+        "<p>x &amp; y &lt;tag&gt; &eacute; &#8212;</p>",
+        "<script>var x = '</div>'; if (a<b && c>d) {}</script><p>r</p>",
+        "<style>p>a { color: red }</style><p>after style</p>",
+        "<p>weird < 3 compare</p>",
+        "<!-- comment with <p>fake</p> --><p>real</p>",
+        "<BR/><HR/><P>CAPS</P>",
+        "<a href=/un/quoted>link</a><p>t</p>",
+        "<p title='has > inside'>attr gt</p>",
+        "<nav><a href='/x'>l1</a></nav><main><p>m</p></main>",
+    ]
+    for e in edges:
+        assert fast(e) == std(e), e
+    n = 0
+    for r in gen_rows("tiny"):
+        if r["html"][:1] == b"<":
+            raw = r["html"].decode("utf-8", "replace")
+            assert fast(raw) == std(raw), r["url"]
+            n += 1
+    assert n > 100
