@@ -122,3 +122,31 @@ def test_plan_pushdown_and_pruning(spark):
     # ReadSchema must carry only doc_id + text, not lang/url/etc.
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "doc_id" in rs and "text" in rs and "lang" not in rs, rs
+
+
+def test_streaming_ingest_golden_and_exactly_once(spark, tmp_path):
+    """Structured Streaming twin of the batch job: drain the tiny corpus
+    with availableNow, assert golden byte-identity, then restart the query
+    from its checkpoint and assert nothing is reprocessed."""
+    from ocr_gpu_services_spark.sources.pages import synthetic_pages
+    from ocr_gpu_services_spark.streaming.ingest import stream_extract
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "extracted_stream")
+    ckpt = str(tmp_path / "ckpt")
+    synthetic_pages(spark, "tiny").repartition(8).write.parquet(src)
+
+    q = stream_extract(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    got = {r["url"]: r["extracted_text"]
+           for r in spark.read.parquet(out).collect()}
+    _, texts = _load_goldens()
+    assert set(got) == set(texts)
+    for url, t in texts.items():
+        assert got[url].encode("utf-8") == t, url
+
+    # exactly-once: a fresh start over the same checkpoint sees no new
+    # files and writes no new rows
+    q2 = stream_extract(spark, src, out, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == len(texts)
