@@ -12,8 +12,6 @@ no SQL twin and get the driver's rows-only check.
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -684,3 +682,38 @@ def qr_extract(spark, sf_dir):
     return (qr.filter(F.col("text").startswith("QR:"))
             .select("doc_id", F.substring("text", 4, 2 ** 30).alias("data"),
                     F.lit("QRCODE").alias("type")))
+
+
+_IMG_W = "CAST(600 + " + dedup.h32_sql(
+    "CAST(p_partkey AS VARCHAR) || ':iw'") + " % 1000 AS DOUBLE)"
+_IMG_H = "CAST(400 + " + dedup.h32_sql(
+    "CAST(p_partkey AS VARCHAR) || ':ih'") + " % 1400 AS DOUBLE)"
+
+
+@q("detect_document", f"""
+    SELECT image_id, class, label, conf,
+           round(0.1 * w, 2) AS x1, round(0.1 * h, 2) AS y1,
+           round(0.9 * w, 2) AS x2, round(0.9 * h, 2) AS y2
+    FROM (SELECT p_partkey AS image_id, 1 AS class, 'document' AS label,
+                 0.99 AS conf, {_IMG_W} AS w, {_IMG_H} AS h
+          FROM part)""")
+def detect_document(spark, sf_dir):
+    """U4 (document-boundary detector): the reference's Faster-RCNN path
+    currently returns a MOCK box spanning 10%-90% of the page
+    (/root/reference/src/ml/document_detector/main.py:232-242) with the
+    record shape {class, label, confidence, box:[x1,y1,x2,y2]} — that
+    exact record, as expressions over deterministic per-image dims; the
+    real-model slot is the extraction kernel's per-partition-load
+    interface (operators/extract_kernel.py)."""
+    from ..operators.boxes import _h32
+    p = _t(spark, sf_dir, "part")
+    w = (600 + _h32(F.concat(F.col("p_partkey").cast("string"),
+                             F.lit(":iw"))) % 1000).cast("double")
+    h = (400 + _h32(F.concat(F.col("p_partkey").cast("string"),
+                             F.lit(":ih"))) % 1400).cast("double")
+    return p.select(
+        F.col("p_partkey").alias("image_id"),
+        F.lit(1).alias("class"), F.lit("document").alias("label"),
+        F.lit(0.99).alias("conf"),
+        F.round(0.1 * w, 2).alias("x1"), F.round(0.1 * h, 2).alias("y1"),
+        F.round(0.9 * w, 2).alias("x2"), F.round(0.9 * h, 2).alias("y2"))
