@@ -82,6 +82,19 @@ def run_job(spark: SparkSession, pages: DataFrame, out: str, run_id: str,
         metrics.update({k: (int(v) if v is not None else 0)
                         for k, v in obs.get.items()})
         metrics["docs_per_sec"] = round(metrics["rows_out"] / wall, 2)
+
+    # S6 metrics sink (SURVEY §2.1): one durable row per run under the
+    # table's _metrics dir — the batch analogue of the reference's
+    # rotating per-request latency log (src/main.py:47-53); manifests
+    # carry per-partition lineage, this carries per-run totals
+    mdir = os.path.join(out, "_metrics")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".run-{run_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"run-{run_id}.json"))
     return metrics
 
 

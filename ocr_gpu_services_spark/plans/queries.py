@@ -717,3 +717,31 @@ def detect_document(spark, sf_dir):
         F.lit(0.99).alias("conf"),
         F.round(0.1 * w, 2).alias("x1"), F.round(0.1 * h, 2).alias("y1"),
         F.round(0.9 * w, 2).alias("x2"), F.round(0.9 * h, 2).alias("y2"))
+
+
+@q("argmin_cost", """
+    SELECT o_custkey AS custkey,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_orderkey,
+           round(min(o_totalprice), 2) AS cheapest_price
+    FROM orders WHERE o_totalprice <= 150000 GROUP BY o_custkey""")
+def argmin_cost(spark, sf_dir):
+    """A4 (argmin cost after threshold filter, reference
+    /root/reference/src/ml/classifier/model.py:180-191): min_by +
+    predicate — the dual of argmax_order."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") <= 150000)
+    return (o.groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.min_by("o_orderkey", "o_totalprice")
+                  .alias("cheapest_orderkey"),
+                 F.round(F.min("o_totalprice"), 2).alias("cheapest_price")))
+
+
+@q("spans_flatten")  # P2: explode the nested span array (kernel output)
+def spans_flatten(spark, sf_dir):
+    """P2 (docTR hierarchy flatten, reference optional_services.py:33-42):
+    the kernel emits spans nested per document; this is the explicit
+    explode to one row per span — `F.inline`-style flatten of
+    ARRAY<STRUCT> with the parent url carried along."""
+    ext = extract_pipeline(synthetic_pages(spark, "tiny"))
+    return (ext.select("url", F.explode("spans").alias("s"))
+            .select("url", "s.text", "s.conf", "s.x0", "s.y0", "s.x1",
+                    "s.y1", "s.kind"))
