@@ -261,3 +261,37 @@ def test_fast_tokenizer_matches_stdlib():
             assert fast(raw) == std(raw), r["url"]
             n += 1
     assert n > 100
+
+
+def test_mega_page_byte_capped_chunking():
+    """North-rule skew defense: a mega-page (payload >> Arrow batch cap)
+    must be isolated into its own chunk by _chunks_by_bytes and still
+    extract correctly, so one 40 MB row can never blow up a worker batch."""
+    import pyarrow as pa
+
+    from ocr_gpu_services_spark.operators.extract_kernel import (
+        MAX_BATCH_BYTES, _chunks_by_bytes, _extract_batches)
+
+    para = ("<p>" + "spark arrow kernel partition shuffle executor " * 40
+            + "</p>")
+    mega = ("<html><body><main><h1>Mega</h1>"
+            + para * (MAX_BATCH_BYTES // len(para) + 50)
+            + "</main></body></html>").encode()
+    assert len(mega) > MAX_BATCH_BYTES
+    small = b"<html><body><main><p>small page body words</p></main></body></html>"
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["u1", "u2", "u3"]),
+         pa.array([None, None, None], pa.timestamp("us")),
+         pa.array([small, mega, small], pa.binary()),
+         pa.array([None, None, None], pa.string())],
+        names=["url", "warc_ts", "html", "text"])
+    chunks = list(_chunks_by_bytes(batch))
+    # the mega row must start its own chunk (small, mega, small -> 2+ chunks)
+    assert len(chunks) >= 2
+    assert sum(c.num_rows for c in chunks) == 3
+    out = list(_extract_batches(iter([batch])))
+    rows = [r for c in out for r in c.to_pylist()]
+    assert len(rows) == 3
+    megarow = next(r for r in rows if r["url"] == "u2")
+    assert megarow["error"] is None
+    assert len(megarow["extracted_text"]) > 1_000_000
