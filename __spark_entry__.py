@@ -48,7 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every SQL-expressible query; non-relational
-    kernels (extract_e2e, nms_greedy, layout_classify, ann_lsh_topk) are
-    deliberately omitted -> rows-only check."""
+    kernels (extract_e2e, nms_greedy, layout_classify, ann_lsh_topk,
+    multimodal_meta, spans_flatten) are deliberately omitted -> rows-only
+    check (extract_e2e's real gate is golden byte-identity via pytest)."""
     from ocr_gpu_services_spark.plans.queries import ORACLE
     return dict(ORACLE)
