@@ -745,3 +745,51 @@ def spans_flatten(spark, sf_dir):
     return (ext.select("url", F.explode("spans").alias("s"))
             .select("url", "s.text", "s.conf", "s.x0", "s.y0", "s.x1",
                     "s.y1", "s.kind"))
+
+
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+@q("winnow_fingerprint", f"""
+    WITH d AS (
+      SELECT doc_id, array_to_string({tokens_sql('text')}, ' ') AS t
+      FROM documents WHERE doc_id < 300),
+    g AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(substr(t, pos, {_WINNOW_K})), 1, 8))
+                  AS BIGINT) AS h
+      FROM d, LATERAL unnest(generate_series(
+                 1, length(t) - {_WINNOW_K} + 1)) AS u(pos)
+      WHERE length(t) >= {_WINNOW_K}),
+    sel AS (
+      SELECT doc_id, h,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+      FROM g)
+    SELECT doc_id, count(*) AS n_prints,
+           count(DISTINCT h) AS n_distinct, min(h) AS min_print
+    FROM sel WHERE h = wmin GROUP BY doc_id""")
+def winnow_fingerprint(spark, sf_dir):
+    """Document fingerprinting by winnowing (Schleimer et al., SIGMOD
+    2003): rolling k-gram hashes over the canonicalized text, keep each
+    window's minimum — the standard near-dup fingerprint set whose size
+    is ~2/(w+1) of the text.  Pure exprs + one window function; the
+    selected prints would feed the same band-join as minhash at scale."""
+    k, w_ = _WINNOW_K, _WINNOW_W
+    d = (_tw(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+         .withColumn("t", F.array_join(tokens_col(F.col("text")), " "))
+         .filter(F.length("t") >= k))
+    g = (d.select("doc_id", "t",
+                  F.explode(F.sequence(F.lit(1), F.length("t") - k + 1))
+                   .alias("pos"))
+         .withColumn("h", F.conv(F.substring(
+             F.md5(F.expr(f"substring(t, pos, {k})")), 1, 8), 16, 10)
+             .cast("bigint")))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w_ - 1)
+    sel = g.withColumn("wmin", F.min("h").over(win)) \
+           .filter(F.col("h") == F.col("wmin"))
+    return (sel.groupBy("doc_id")
+            .agg(F.count("*").alias("n_prints"),
+                 F.countDistinct("h").alias("n_distinct"),
+                 F.min("h").alias("min_print")))
