@@ -61,9 +61,17 @@ class _Block:
     pieces: list = field(default_factory=list)        # (collapsed_piece, is_link)
 
     def finish(self):
-        text = collapse_ws(" ".join(p for p, _ in self.pieces))
-        link_chars = sum(len(p) for p, is_link in self.pieces if is_link)
-        total_chars = sum(len(p) for p, _ in self.pieces)
+        # single pass over pieces (this runs once per flushed block on
+        # every document; it was 3 generator passes)
+        link_chars = total_chars = 0
+        parts = []
+        for p, is_link in self.pieces:
+            parts.append(p)
+            n = len(p)
+            total_chars += n
+            if is_link:
+                link_chars += n
+        text = collapse_ws(" ".join(parts))
         words = len(text.split()) if text else 0
         link_density = (link_chars / total_chars) if total_chars > 0 else 0.0
         return text, words, link_density
