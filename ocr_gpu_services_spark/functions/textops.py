@@ -108,7 +108,6 @@ def nfc_canon_udf():
     import re as _re
     import unicodedata as _ud
 
-    import pandas as _pd
     from pyspark.sql.functions import pandas_udf
 
     ws = _re.compile(_CANON_WS)
