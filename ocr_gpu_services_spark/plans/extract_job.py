@@ -46,11 +46,17 @@ def run_job(spark: SparkSession, pages: DataFrame, out: str, run_id: str,
             resume: bool = False) -> dict:
     table = IcebergLikeTable(out, partition_col="warc_day")
 
-    # resume pruning happens on the SOURCE side, below the kernel: with a
-    # day-partitioned input table this is partition pruning at the scan, so
-    # a resumed run re-reads and re-extracts only the uncommitted days
-    pages = pages.withColumn(
-        "warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+    # resume pruning happens on the SOURCE side, below the kernel.  If the
+    # input table is hive/Iceberg-style day-partitioned it already carries
+    # a warc_day PARTITION column and the isin-filter below becomes real
+    # partition pruning at the scan (PartitionFilters — a resumed run
+    # never re-reads committed days' bytes; asserted by
+    # tests/test_spark_e2e.py::test_resume_uses_partition_pruning).  For a
+    # flat table the column is derived and the filter still prevents
+    # re-extraction, just not the re-scan.
+    if "warc_day" not in pages.columns:
+        pages = pages.withColumn(
+            "warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
     if resume:
         done = sorted(table.committed_partitions())
         if done:

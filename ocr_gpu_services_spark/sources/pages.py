@@ -84,3 +84,18 @@ def _write_shard(args) -> None:
         "lang": pa.array(cols["lang"], pa.string()),
     })
     pq.write_table(table, out, compression="zstd")
+
+
+def read_pages_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a day-partitioned (hive/Iceberg-layout) pages table: the
+    warc_day partition column comes from the directory structure, so
+    resume's NOT-IN filter on it is partition pruning at the scan."""
+    return spark.read.parquet(path)
+
+
+def write_pages_partitioned(df: DataFrame, path: str) -> str:
+    """Materialize a pages DataFrame day-partitioned (test/demo helper)."""
+    from pyspark.sql import functions as F
+    (df.withColumn("warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+       .write.mode("overwrite").partitionBy("warc_day").parquet(path))
+    return path

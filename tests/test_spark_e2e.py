@@ -150,3 +150,38 @@ def test_streaming_ingest_golden_and_exactly_once(spark, tmp_path):
     q2 = stream_extract(spark, src, out, ckpt)
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == len(texts)
+
+
+def test_resume_uses_partition_pruning(spark, tmp_path):
+    """With a day-partitioned input table, a resumed run's NOT-IN filter
+    on warc_day must reach the scan as PartitionFilters — committed days'
+    bytes are never re-read (at 100 TB this is resume's whole point)."""
+    from ocr_gpu_services_spark.sources.pages import (
+        read_pages_partitioned, synthetic_pages, write_pages_partitioned)
+
+    src = str(tmp_path / "pages_partitioned")
+    write_pages_partitioned(synthetic_pages(spark, "tiny"), src)
+    pages = read_pages_partitioned(spark, src)
+    assert "warc_day" in pages.columns
+
+    days = sorted(r["warc_day"]
+                  for r in pages.select("warc_day").distinct().collect())
+    done = days[:3]
+    pruned = pages.filter(~F.col("warc_day").isin(done))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "warc_day" in plan.split(
+        "PartitionFilters", 1)[1][:400], plan
+
+    # end-to-end: resumed job over the partitioned source matches goldens
+    out = str(tmp_path / "extracted")
+    m1 = run_job(spark, pages.filter(F.col("warc_day").isin(done)), out,
+                 run_id="killed")
+    assert m1["partitions_written"] == 3
+    m2 = run_job(spark, pages, out, run_id="resumed", resume=True)
+    assert m2["partitions_written"] == len(days) - 3
+    got = {r["url"]: r["extracted_text"]
+           for r in spark.read.parquet(out).collect()}
+    _, texts = _load_goldens()
+    assert set(got) == set(texts)
+    for url, t in texts.items():
+        assert got[url].encode("utf-8") == t, url
