@@ -1,0 +1,61 @@
+"""Stateful streaming exact-dedup: drop re-crawled duplicates across
+micro-batches.
+
+Continuous-ingestion twin of the batch ``operators/dedup.exact_dup_groups``:
+as crawl files arrive, only the FIRST document with a given content
+fingerprint passes through; any later arrival (same batch or any later
+micro-batch) is dropped.  State = one boolean per fingerprint, kept in the
+Spark state store and restored from the checkpoint, so a killed stream
+resumes with its dedup memory intact (tested with a restart in
+tests/test_spark_e2e.py).
+
+This is the engine's ``applyInPandasWithState`` surface: a custom stateful
+operator the built-in streaming aggregations cannot express (dropDuplicates
+in streaming keys on exact column equality but cannot bound or inspect its
+state shape; here the state is explicit and minimal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("fingerprint", T.StringType()),
+])
+
+STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def _keep_first(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    first = None
+    if not state.exists:
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                first = pdf.sort_values(["warc_ts", "url"]).iloc[:1]
+        state.update((True,))
+    else:
+        for _ in pdf_iter:   # drain: all rows are known duplicates
+            pass
+    if first is not None:
+        yield pd.DataFrame({
+            "url": first["url"].values,
+            "warc_ts": first["warc_ts"].values,
+            "fingerprint": [key[0]] * len(first),
+        })
+
+
+def stream_dedup_exact(pages: DataFrame,
+                       payload_col: str = "html") -> DataFrame:
+    """pages stream -> first-seen rows only, keyed by payload md5."""
+    fp = pages.withColumn("fingerprint", F.md5(F.col(payload_col)))
+    return (fp.groupBy("fingerprint")
+            .applyInPandasWithState(
+                _keep_first, OUT_SCHEMA, STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

@@ -185,3 +185,53 @@ def test_resume_uses_partition_pruning(spark, tmp_path):
     assert set(got) == set(texts)
     for url, t in texts.items():
         assert got[url].encode("utf-8") == t, url
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: only the first arrival of each
+    payload fingerprint survives, across micro-batches AND across a
+    stream restart (state restored from the checkpoint)."""
+    from ocr_gpu_services_spark.sources.pages import PAGES_SCHEMA
+    from ocr_gpu_services_spark.streaming.dedup import stream_dedup_exact
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "unique")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    base = synthetic_pages(spark, "tiny").limit(50).collect()
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema=PAGES_SCHEMA) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{src}/{name}")
+
+    # batch 1: 30 docs; batch 2: 10 of the same + 20 new (same payloads,
+    # re-crawled under new urls -> still duplicates by fingerprint)
+    write_batch(base[:30], "b1")
+    import datetime as dt
+    redup = [type(r)(url=r.url + "?recrawl", warc_ts=r.warc_ts,
+                     html=r.html, text=r.text, lang=r.lang)
+             for r in base[10:20]]
+    write_batch(redup + base[30:50], "b2")
+
+    def run_stream():
+        pages = (spark.readStream.schema(PAGES_SCHEMA)
+                 .option("maxFilesPerTrigger", 1)
+                 .parquet(f"{src}/*"))
+        q = (stream_dedup_exact(pages).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_stream()
+    got = spark.read.parquet(out)
+    fps = [r["fingerprint"] for r in got.collect()]
+    assert len(fps) == len(set(fps)), "duplicate fingerprints emitted"
+    uniq_payload_md5 = len({bytes(r.html) for r in base[:50]})
+    assert len(fps) == uniq_payload_md5
+
+    # restart with one more file of pure duplicates: nothing new emitted
+    write_batch(base[:10], "b3")
+    run_stream()
+    assert spark.read.parquet(out).count() == uniq_payload_md5
