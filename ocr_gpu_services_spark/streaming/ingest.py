@@ -16,7 +16,8 @@ batch goldens pin streaming correctness too.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.extract_job import extract_pipeline
 from ..sources.pages import PAGES_SCHEMA
@@ -44,3 +45,28 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_crawl_stats(pages: DataFrame, watermark: str = "30 minutes",
+                       window: str = "10 minutes") -> DataFrame:
+    """Watermarked event-time crawl statistics: docs and payload bytes per
+    (warc_ts window, content_type).
+
+    Late-data semantics: rows older than ``watermark`` behind the max
+    observed warc_ts are dropped; a window is emitted exactly once, when
+    the watermark passes its end (append mode) — the monitoring feed for
+    a continuous ingestion deployment.  Sniffing is the same expression
+    the batch pipeline uses (operators/sniff.py), so the stats agree with
+    what extraction will see."""
+    from ..operators.sniff import content_type_col
+
+    return (pages
+            .withColumn("content_type", content_type_col())
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "content_type")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.coalesce(F.octet_length("html"), F.lit(0)))
+                  .alias("payload_bytes"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "content_type", "n_docs", "payload_bytes"))

@@ -235,3 +235,39 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     write_batch(base[:10], "b3")
     run_stream()
     assert spark.read.parquet(out).count() == uniq_payload_md5
+
+
+def test_streaming_windowed_crawl_stats(spark, tmp_path):
+    """Watermark + event-time window agg: every finalized window emitted
+    by the stream must equal the batch groupBy over the same data."""
+    from ocr_gpu_services_spark.sources.pages import (
+        PAGES_SCHEMA, synthetic_pages)
+    from ocr_gpu_services_spark.streaming.ingest import stream_crawl_stats
+    from ocr_gpu_services_spark.operators.sniff import content_type_col
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    synthetic_pages(spark, "tiny").repartition(6).write.parquet(src)
+
+    pages = (spark.readStream.schema(PAGES_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_crawl_stats(pages).writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {(r["window_start"], r["window_end"], r["content_type"]):
+           (r["n_docs"], r["payload_bytes"])
+           for r in spark.read.parquet(out).collect()}
+    assert got, "no windows finalized"
+    batch = synthetic_pages(spark, "tiny") \
+        .withColumn("content_type", content_type_col()) \
+        .groupBy(F.window("warc_ts", "10 minutes").alias("w"),
+                 "content_type") \
+        .agg(F.count("*").alias("n"),
+             F.sum(F.coalesce(F.octet_length("html"), F.lit(0))).alias("b"))
+    want = {(r["w"]["start"], r["w"]["end"], r["content_type"]):
+            (r["n"], r["b"]) for r in batch.collect()}
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
