@@ -793,3 +793,43 @@ def winnow_fingerprint(spark, sf_dir):
             .agg(F.count("*").alias("n_prints"),
                  F.countDistinct("h").alias("n_distinct"),
                  F.min("h").alias("min_print")))
+
+
+@q("range_join_binned", """
+    SELECT a.event_id, count(*) AS n_neighbors
+    FROM events a JOIN events b
+      ON b.ts BETWEEN a.ts - INTERVAL 60 SECOND
+                  AND a.ts + INTERVAL 60 SECOND
+     AND b.event_id <> a.event_id
+    WHERE a.event_id < 2000
+    GROUP BY a.event_id""")
+def range_join_binned(spark, sf_dir):
+    """Banded range join (temporal density: neighbors within +-60s).
+
+    Spark has no range-join optimization, so the naive theta join is a
+    broadcast nested loop — O(N^2) at corpus scale.  The scale-safe form
+    used here: bucket ts into 60s bins, explode the probe side to its 3
+    candidate bins, EQUI-join on the bin, then apply the exact band
+    predicate.  Each row meets only its temporal neighborhood (3 bins),
+    so the join is shuffle-partitioned by bin like any equi-join.  The
+    DuckDB oracle uses the direct theta join — same result, different
+    physical strategy."""
+    BAND = 60_000_000  # microseconds: match the oracle's timestamp math
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    a = (e.filter(F.col("event_id") < 2000)
+         .withColumn("bin", F.explode(F.array(
+             (F.floor(F.col("us") / BAND) - 1),
+             F.floor(F.col("us") / BAND),
+             (F.floor(F.col("us") / BAND) + 1))))
+         .select(F.col("event_id").alias("a_id"),
+                 F.col("us").alias("a_us"), "bin"))
+    b = e.select(F.col("event_id").alias("b_id"),
+                 F.col("us").alias("b_us"),
+                 F.floor(F.col("us") / BAND).alias("bin"))
+    return (a.join(b, "bin")
+            .filter((F.abs(F.col("a_us") - F.col("b_us")) <= BAND)
+                    & (F.col("a_id") != F.col("b_id")))
+            .select(F.col("a_id"), F.col("b_id")).distinct()
+            .groupBy(F.col("a_id").alias("event_id"))
+            .agg(F.count("*").alias("n_neighbors")))
