@@ -833,3 +833,40 @@ def range_join_binned(spark, sf_dir):
             .select(F.col("a_id"), F.col("b_id")).distinct()
             .groupBy(F.col("a_id").alias("event_id"))
             .agg(F.count("*").alias("n_neighbors")))
+
+
+@q("asof_join", """
+    SELECT p.event_id, v.ts AS view_ts, round(v.value, 4) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts""")
+def asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks): for each purchase, the user's
+    most recent view at or before it.
+
+    Scale-safe implementation — NO join at all: union both sides with a
+    tag, one window per user ordered by (ts, right-first), and
+    last(right_value, ignoreNulls) carries the latest preceding right
+    row to every left row.  One shuffle on user_id, linear in rows,
+    immune to the unbounded fan-out a BETWEEN theta join would have.
+    The DuckDB oracle uses its native ASOF LEFT JOIN."""
+    e = _t(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .select("user_id", "ts",
+                 F.col("ts").alias("r_ts"), F.col("value").alias("r_val"),
+                 F.lit(None).cast("long").alias("event_id"),
+                 F.lit(1).alias("is_r")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts",
+                 F.lit(None).cast("timestamp_ntz").alias("r_ts"),
+                 F.lit(None).cast("double").alias("r_val"),
+                 "event_id", F.lit(0).alias("is_r")))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.asc("ts"), F.desc("is_r"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = (v.unionByName(p)
+         .withColumn("asof_ts", F.last("r_ts", ignorenulls=True).over(w))
+         .withColumn("asof_val", F.last("r_val", ignorenulls=True).over(w)))
+    return (u.filter(F.col("is_r") == 0)
+            .select("event_id", F.col("asof_ts").alias("view_ts"),
+                    F.round("asof_val", 4).alias("view_value")))
