@@ -870,3 +870,36 @@ def asof_join(spark, sf_dir):
     return (u.filter(F.col("is_r") == 0)
             .select("event_id", F.col("asof_ts").alias("view_ts"),
                     F.round("asof_val", 4).alias("view_value")))
+
+
+_CMS_D, _CMS_W = 4, 64
+
+
+@q("cms_sketch", f"""
+    WITH toks AS (
+      SELECT unnest({tokens_sql('text')}) AS tok
+      FROM documents WHERE doc_id < 400),
+    cells AS (
+      SELECT d.d AS depth,
+             {dedup.h32_sql("CAST(d.d AS VARCHAR) || ':' || tok")}
+               % {_CMS_W} AS bucket
+      FROM toks, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d)
+    SELECT depth, bucket, count(*) AS n
+    FROM cells GROUP BY depth, bucket""")
+def cms_sketch(spark, sf_dir):
+    """Count-Min sketch of the token stream (the 'novel sketch' custom
+    operator): d x w counter grid, each token incrementing one bucket per
+    depth via independent salted hashes.  Deterministic md5-derived
+    hashes make the sketch itself oracle-checkable cell by cell.  At
+    corpus scale this is the classic one-pass heavy-hitter structure:
+    the groupBy is over d*w = {_CMS_D * _CMS_W} cells regardless of
+    corpus size (map-side partial agg does almost all the work), and
+    point estimates are min over depths of the probed cells."""
+    d = _tw(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    cells = toks.select(F.explode(F.array(*[
+        F.struct(F.lit(k).alias("depth"),
+                 (dedup._h32_spark(F.concat(F.lit(f"{k}:"), F.col("tok")))
+                  % _CMS_W).alias("bucket"))
+        for k in range(_CMS_D)])).alias("c")).select("c.depth", "c.bucket")
+    return cells.groupBy("depth", "bucket").agg(F.count("*").alias("n"))
