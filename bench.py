@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "signature_filter_p7", "detect_threshold", "iou_pairs", "nms_greedy",
     "multimodal_meta",
     "pricing_summary", "top_orders", "join_5way_volume",
-    "window_topk", "events_sessionize", "range_join_binned", "asof_join",
+    "window_topk", "events_sessionize", "range_join_binned", "asof_join", "hypertable_rollup",
 ]
 
 def main():

@@ -903,3 +903,30 @@ def cms_sketch(spark, sf_dir):
                   % _CMS_W).alias("bucket"))
         for k in range(_CMS_D)])).alias("c")).select("c.depth", "c.bucket")
     return cells.groupBy("depth", "bucket").agg(F.count("*").alias("n"))
+
+
+@q("hypertable_rollup", """
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             count(*) AS n_events, round(sum(value), 4) AS total_value
+      FROM events GROUP BY 1, 2)
+    SELECT bucket, event_type, n_events, total_value,
+           n_events - coalesce(lag(n_events) OVER (
+             PARTITION BY event_type ORDER BY bucket), 0) AS delta_events
+    FROM b""")
+def hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: events rolled up into
+    1-hour time buckets per event_type, plus the bucket-over-bucket
+    delta.  At scale this is the materialized-rollup pattern: the
+    groupBy keys on (bucket, type) so cardinality is bounded by the time
+    range, map-side partial agg absorbs the row volume, and the delta
+    window runs over the tiny rolled-up table, never the raw events."""
+    e = _t(spark, sf_dir, "events")
+    b = (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                   "event_type")
+         .agg(F.count("*").alias("n_events"),
+              F.round(F.sum("value"), 4).alias("total_value")))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return b.withColumn(
+        "delta_events",
+        F.col("n_events") - F.coalesce(F.lag("n_events").over(w), F.lit(0)))
