@@ -20,7 +20,10 @@ where cpu_N is the aggregate throughput of a pinned pure-Python spin loop
 at the same core counts (the hardware ceiling).  eff_norm >= 0.8 is the
 pass criterion; both appear in BENCH/BASELINE.md.
 
-Usage:  python tools/bench_scaling.py [--n 8] [--xn 32] [--scale xbench]
+Usage:  python tools/bench_scaling.py [--n 4] [--xn 16] [--scale xbench]
+
+Default is 4->16: the compute-dominated regime (beyond ~16 cores this
+single socket saturates memory bandwidth — see BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -113,8 +116,8 @@ def main() -> int:
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--calib", type=int, default=None)
     ap.add_argument("--input", default=None)
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--xn", type=int, default=16)
     ap.add_argument("--scale", default="xbench")
     ap.add_argument("--repeats", type=int, default=2,
                     help="best-of repeats per level (noise guard)")
