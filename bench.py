@@ -29,7 +29,7 @@ from ocr_gpu_services_spark.sources.pages import (  # noqa
 
 BENCH_QUERIES = [
     "keyword_classify", "text_clean", "quality_score", "langid",
-    "token_count", "nfc_canon",
+    "token_count", "nfc_canon", "gopher_rules",
     "dedup_exact", "simhash16", "minhash_lsh", "ngram_jaccard",
     "dedup_embedding", "winnow_fingerprint", "cms_sketch", "ann_cosine_topk", "ann_lsh_topk",
     "signature_filter_p7", "detect_threshold", "iou_pairs", "nms_greedy",

@@ -123,3 +123,65 @@ def fingerprint_col(text_col: str = "text") -> Column:
 
 def fingerprint_sql(text_expr: str) -> str:
     return f"md5(array_to_string({tokens_sql(text_expr)}, ' '))"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, published filter
+# thresholds, the subset expressible identically in Spark and the DuckDB
+# oracle): word-count bounds, mean word length bounds, alphabetic-word
+# ratio, minimum stopword hits, and duplicate-token fraction.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_cols(text_col: str = "text") -> dict:
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0),
+                              lambda a, w: a + F.length(w))
+    mean_len = F.when(n > 0, total_chars.cast("double") / n).otherwise(0.0)
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-záéíóúüñ]")))
+    alpha_ratio = F.when(n > 0, alpha.cast("double") / n).otherwise(0.0)
+    stop_hits = F.size(F.filter(
+        toks, lambda w: w.isin(*[F.lit(s) for s in GOPHER_STOPS])))
+    dup_frac = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(0.0)
+    keep = ((n >= 20) & (n <= 100000)
+            & (mean_len >= 3.0) & (mean_len <= 10.0)
+            & (alpha_ratio >= 0.8) & (stop_hits >= 2) & (dup_frac <= 0.5))
+    return {
+        "n_words": n.cast("int"),
+        "mean_word_len": F.round(mean_len, 4),
+        "alpha_ratio": F.round(alpha_ratio, 4),
+        "stop_hits": stop_hits.cast("int"),
+        "dup_frac": F.round(dup_frac, 4),
+        "gopher_keep": keep,
+    }
+
+
+def gopher_sql(text_expr: str) -> dict:
+    toks = tokens_sql(text_expr)
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    n = f"len({toks})"
+    total = f"list_sum(list_transform({toks}, w -> length(w)))"
+    mean_len = (f"(CASE WHEN {n} > 0 THEN CAST({total} AS DOUBLE) / {n} "
+                f"ELSE 0.0 END)")
+    alpha = (f"len(list_filter({toks}, "
+             f"w -> regexp_matches(w, '[a-záéíóúüñ]')))")
+    alpha_ratio = (f"(CASE WHEN {n} > 0 THEN CAST({alpha} AS DOUBLE) / {n} "
+                   f"ELSE 0.0 END)")
+    stop_hits = f"len(list_filter({toks}, w -> w IN ({stops})))"
+    dup = (f"(CASE WHEN {n} > 0 THEN 1.0 - "
+           f"CAST(len(list_distinct({toks})) AS DOUBLE) / {n} "
+           f"ELSE 0.0 END)")
+    keep = (f"({n} >= 20 AND {n} <= 100000 AND {mean_len} >= 3.0 "
+            f"AND {mean_len} <= 10.0 AND {alpha_ratio} >= 0.8 "
+            f"AND {stop_hits} >= 2 AND {dup} <= 0.5)")
+    return {"n_words": f"CAST({n} AS INTEGER)",
+            "mean_word_len": f"round({mean_len}, 4)",
+            "alpha_ratio": f"round({alpha_ratio}, 4)",
+            "stop_hits": f"CAST({stop_hits} AS INTEGER)",
+            "dup_frac": f"round({dup}, 4)",
+            "gopher_keep": keep}

@@ -930,3 +930,25 @@ def hypertable_rollup(spark, sf_dir):
     return b.withColumn(
         "delta_events",
         F.col("n_events") - F.coalesce(F.lag("n_events").over(w), F.lit(0)))
+
+
+_GO = textstats.gopher_sql("text")
+
+
+@q("gopher_rules", f"""
+    SELECT doc_id, {_GO['n_words']} AS n_words,
+           {_GO['mean_word_len']} AS mean_word_len,
+           {_GO['alpha_ratio']} AS alpha_ratio,
+           {_GO['stop_hits']} AS stop_hits,
+           {_GO['dup_frac']} AS dup_frac,
+           {_GO['gopher_keep']} AS gopher_keep
+    FROM documents""")
+def gopher_rules(spark, sf_dir):
+    """Gopher-style quality filter (published thresholds; the
+    cross-engine-expressible subset): word-count bounds, mean word
+    length, alphabetic-word ratio, minimum stopword hits, duplicate-token
+    fraction, and the combined keep decision — all row-local expressions,
+    zero shuffle."""
+    cols = textstats.gopher_cols("text")
+    return _tw(spark, sf_dir, "documents").select(
+        "doc_id", *[c.alias(nm) for nm, c in cols.items()])
