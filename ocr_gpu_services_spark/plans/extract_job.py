@@ -117,8 +117,19 @@ def main(argv=None):
         ap.error("one of --scale / --input required")
 
     spark = get_spark(cores=args.cores)
-    pages = (read_pages(spark, args.input) if args.input
-             else synthetic_pages(spark, args.scale))
+    if args.input:
+        # auto-detect hive/Iceberg-layout day partitioning so resume gets
+        # real partition pruning (see run_job) without an extra flag
+        partitioned = any(d.startswith("warc_day=")
+                          for d in os.listdir(args.input)
+                          if os.path.isdir(os.path.join(args.input, d)))
+        if partitioned:
+            from ..sources.pages import read_pages_partitioned
+            pages = read_pages_partitioned(spark, args.input)
+        else:
+            pages = read_pages(spark, args.input)
+    else:
+        pages = synthetic_pages(spark, args.scale)
     metrics = run_job(spark, pages, args.out, args.run_id, args.resume)
     print(json.dumps(metrics))
     return 0
