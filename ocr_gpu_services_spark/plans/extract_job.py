@@ -120,9 +120,13 @@ def main(argv=None):
     if args.input:
         # auto-detect hive/Iceberg-layout day partitioning so resume gets
         # real partition pruning (see run_job) without an extra flag
-        partitioned = any(d.startswith("warc_day=")
-                          for d in os.listdir(args.input)
-                          if os.path.isdir(os.path.join(args.input, d)))
+        # --input may also be a glob pattern or a single parquet file,
+        # both of which spark.read.parquet accepts; only probe the layout
+        # when it is actually a directory.
+        partitioned = os.path.isdir(args.input) and any(
+            d.startswith("warc_day=")
+            for d in os.listdir(args.input)
+            if os.path.isdir(os.path.join(args.input, d)))
         if partitioned:
             from ..sources.pages import read_pages_partitioned
             pages = read_pages_partitioned(spark, args.input)

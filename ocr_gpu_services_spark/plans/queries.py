@@ -33,9 +33,14 @@ def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the scan yields 1-2 splits and the map-side work would run on 2 of 32
     cores.  At cluster scale the same table has thousands of splits and
     the repartition is unnecessary; locally one narrow round-robin shuffle
-    of a few MB buys full parallelism for the expensive stage above it."""
-    return _t(spark, sf_dir, name).repartition(
-        spark.sparkContext.defaultParallelism)
+    of a few MB buys full parallelism for the expensive stage above it.
+    Gated on the actual scan split count so at cluster scale (splits >=
+    cores) this is a no-op passthrough with zero added shuffle."""
+    df = _t(spark, sf_dir, name)
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
 
 
 QUERIES: dict = {}
@@ -429,15 +434,16 @@ def join_5way_volume(spark, sf_dir):
                              EXCEPT SELECT DISTINCT o_custkey FROM orders))
         AS n_without_orders""")
 def set_ops(spark, sf_dir):
+    # one lazy plan: two 1-row aggregates crossJoined, so the "query"
+    # executes only when the gate runs it (no driver-side .count() at
+    # build time)
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k")).distinct()
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k")).distinct()
-    inter = c.intersect(o).count()
-    minus = c.exceptAll(o).count()
-    return _t(spark, sf_dir, "nation").limit(1).select(
-        F.lit(inter).alias("n_with_orders"),
-        F.lit(minus).alias("n_without_orders"))
+    inter = c.intersect(o).agg(F.count("*").alias("n_with_orders"))
+    minus = c.exceptAll(o).agg(F.count("*").alias("n_without_orders"))
+    return inter.crossJoin(minus)
 
 
 @q("events_sessionize", """

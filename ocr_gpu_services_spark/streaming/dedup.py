@@ -36,9 +36,19 @@ def _keep_first(key, pdf_iter, state: GroupState):
 
     first = None
     if not state.exists:
+        # A fingerprint group may span several Arrow chunks within one
+        # micro-batch; the survivor must be the GLOBAL (warc_ts, url)
+        # minimum, so fold each chunk's head into a running minimum
+        # instead of stopping at the first non-empty chunk.
         for pdf in pdf_iter:
-            if len(pdf) and first is None:
-                first = pdf.sort_values(["warc_ts", "url"]).iloc[:1]
+            if not len(pdf):
+                continue
+            head = pdf.sort_values(["warc_ts", "url"]).iloc[:1]
+            if first is None:
+                first = head
+            else:
+                both = pd.concat([first, head], ignore_index=True)
+                first = both.sort_values(["warc_ts", "url"]).iloc[:1]
         state.update((True,))
     else:
         for _ in pdf_iter:   # drain: all rows are known duplicates
