@@ -18,6 +18,7 @@ from __future__ import annotations
 from . import glyph_ocr
 from .classify import classify_text
 from .html_extract import extract_html
+from .image_page import process_image_page
 from .normalize import canonical_text, collapse_ws
 from .pdf_extract import extract_pdf
 from .png import png_decode
@@ -68,7 +69,9 @@ def extract_document(payload: bytes | None, text: str | None):
         elif ct == CT_IMAGE:
             atlas, charset = get_atlas()
             img = png_decode(payload)
-            out_text, spans = glyph_ocr.ocr_page(img, atlas, charset)
+            # full image route: deskew -> connected components -> QR decode /
+            # signature boxes / glyph OCR (core/image_page.py)
+            out_text, spans = process_image_page(img, atlas, charset)
         elif ct == CT_TEXT:
             out_text, spans = extract_text_branch(text)
         else:  # CT_UNKNOWN

@@ -15,8 +15,8 @@ from __future__ import annotations
 import datetime as dt
 import random
 
-from ..core import glyph_ocr
 from ..core.png import png_encode
+from . import imagegen
 from .pdf_write import build_pdf, content_stream_ops
 
 SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
@@ -117,16 +117,45 @@ def _pdf_page(rng: random.Random, i: int) -> bytes:
 
 
 def _image_page(rng: random.Random, i: int) -> bytes:
-    charset_words = ["INVOICE", "RECEIPT", "CONTRACT", "TOTAL", "DUE", "PAID",
-                     "BATCH", "SPARK", "ARROW", "KERNEL", "PAGE", "SCAN"]
-    n_lines = rng.randint(2, 5)
-    lines = []
-    for _ in range(n_lines):
-        words = [rng.choice(charset_words) for _ in range(rng.randint(2, 5))]
-        if rng.random() < 0.5:
-            words.append(str(rng.randint(10, 9999)))
-        lines.append(" ".join(words))
-    return png_encode(glyph_ocr.render_text_image(lines))
+    # composed page: glyph text + optional signature scribble + optional
+    # QR-lite marker, optionally rotated (fixtures/imagegen.py); the kernel
+    # must rediscover the regions from pixels alone
+    return png_encode(imagegen.render_image_page(imagegen.image_plan(rng, i)))
+
+
+def _row_kind(i: int, r: float, pdf_block: range) -> str:
+    """Pure row-kind decision shared by gen_rows and image_expectations."""
+    if i in pdf_block:
+        return "pdf"
+    if r < 0.70:
+        return "html"
+    if r < 0.85:
+        return "pdf"
+    if r < 0.95:
+        return "image"
+    if r < 0.985:
+        return "text"
+    return "broken"
+
+
+def image_expectations(scale: str = "tiny", seed: int = 7) -> list[dict]:
+    """Ground-truth metadata for every image row: url, expected QR payload,
+    expected signature/QR span geometry in the kernel's canonical frame.
+    Derived from the generator's PLAN (placement arithmetic), never from the
+    detection pipeline — an independent oracle for the pixels->regions path.
+    """
+    n = SCALES[scale]
+    pdf_block = range(int(n * 0.55), int(n * 0.55) + max(2, n // 25))
+    out = []
+    for i in range(n):
+        rng_i = random.Random((seed << 20) ^ i)
+        if _row_kind(i, rng_i.random(), pdf_block) != "image":
+            continue
+        host = "pages.example"
+        meta = imagegen.canonical_meta(imagegen.image_plan(rng_i, i))
+        meta["url"] = f"https://{host}/p/{i:07d}"
+        out.append(meta)
+    return out
 
 
 def gen_rows(scale: str = "tiny", seed: int = 7,
@@ -143,20 +172,8 @@ def gen_rows(scale: str = "tiny", seed: int = 7,
     for i in range(start, min(stop, n)):
         rng_i = random.Random((seed << 20) ^ i)   # per-row stream: row order
         # and count never perturb other rows (permutation invariance tests)
-        r = rng_i.random()
-        host = "pages.example"
-        if i in pdf_block:
-            kind, host = "pdf", "pdf-farm.example"
-        elif r < 0.70:
-            kind = "html"
-        elif r < 0.85:
-            kind = "pdf"
-        elif r < 0.95:
-            kind = "image"
-        elif r < 0.985:
-            kind = "text"
-        else:
-            kind = "broken"
+        kind = _row_kind(i, rng_i.random(), pdf_block)
+        host = "pdf-farm.example" if i in pdf_block else "pages.example"
         url = f"https://{host}/p/{i:07d}"
         ts = EPOCH + dt.timedelta(minutes=(i * 37) % (8 * 24 * 60))
         lang, text_col = "en", None

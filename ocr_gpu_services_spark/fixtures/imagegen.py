@@ -1,0 +1,134 @@
+"""Image-page fixture synthesis: glyph text + signature scribble + QR-lite
+marker, optionally rotated (FIXTURES.md §1 image rows, round-2 widening).
+
+A page is built from a deterministic PLAN (all randomness drawn up front
+from the row's seeded rng), composed upright, then rotated by an exact
+three-shear rotation (core/geometry.py) so the kernel's deskew can restore
+it pixel-for-pixel.  ``compose_upright`` also returns the exact geometry of
+every painted region, which `fixtures/expect.py`-style oracles use as
+ground truth: the kernel must re-discover the same boxes/payloads from
+pixels alone (PNG decode -> deskew -> connected components -> QR decode).
+
+The signature scribble is sized to satisfy the reference's P7 predicate
+(100 < w < 500, 50 < h < 200, 0.2 < w/h < 5 — optional_services.py:96-106)
+and its ink density lands in P8's (0.05, 0.5) band
+(src/ml/signature_detector/main.py:74-98).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+
+from ..core import glyph_ocr, qrlite
+from ..core.geometry import SKEW_GRID, rotate_canvas
+
+GAP = 12          # vertical separation between regions (> glyph pitch)
+PAPER, INK = 255, 0
+
+
+def signature_blob(seed: int) -> np.ndarray:
+    """Deterministic two-tone sine scribble; ink bbox == full array."""
+    rng = random.Random(seed)
+    w = rng.randint(140, 280)
+    h = rng.randint(70, 110)
+    f1, f2 = rng.uniform(1.5, 2.5), rng.uniform(3.0, 4.5)
+    p1, p2 = rng.uniform(0, 2 * math.pi), rng.uniform(0, 2 * math.pi)
+    t = np.linspace(0.0, 1.0, 10 * w)
+    raw = (0.6 * np.sin(2 * math.pi * f1 * t + p1)
+           + 0.4 * np.sin(2 * math.pi * f2 * t + p2))
+    ynorm = (raw - raw.min()) / (raw.max() - raw.min())
+    yi = np.rint(1 + ynorm * (h - 3)).astype(int)
+    xi = np.rint(1 + t * (w - 3)).astype(int)
+    img = np.full((h, w), PAPER, dtype=np.uint8)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            img[np.clip(yi + dy, 0, h - 1), np.clip(xi + dx, 0, w - 1)] = INK
+    density = float((img < 128).mean())
+    assert 0.05 < density < 0.5, f"signature density {density} out of P8 band"
+    return img
+
+
+def image_plan(rng: random.Random, i: int) -> dict:
+    """Draw ALL of an image page's randomness; rendering is plan-pure."""
+    charset_words = ["INVOICE", "RECEIPT", "CONTRACT", "TOTAL", "DUE", "PAID",
+                     "BATCH", "SPARK", "ARROW", "KERNEL", "PAGE", "SCAN"]
+    n_lines = rng.randint(2, 5)
+    lines = []
+    for _ in range(n_lines):
+        words = [rng.choice(charset_words) for _ in range(rng.randint(2, 5))]
+        if rng.random() < 0.5:
+            words.append(str(rng.randint(10, 9999)))
+        lines.append(" ".join(words))
+    sig_seed = rng.randrange(2 ** 30) if rng.random() < 0.45 else None
+    qr_payload = f"QR:{i:07d}" if rng.random() < 0.40 else None
+    sig_x = rng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 40)
+    qr_x = rng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 60)
+    angle = 0.0
+    if rng.random() < 0.45:
+        angle = rng.choice([a for a in SKEW_GRID if abs(a) >= 1.0])
+    return {"lines": lines, "sig_seed": sig_seed, "qr_payload": qr_payload,
+            "sig_x": sig_x, "qr_x": qr_x, "angle": angle}
+
+
+def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
+    """Render the upright page.  Returns (img, meta) with meta carrying the
+    exact placed bboxes (y0, x0, y1_incl, x1_incl) of each region."""
+    M = glyph_ocr.MARGIN
+    parts: list[tuple[np.ndarray, int, int]] = []
+    text_img = glyph_ocr.render_text_image(plan["lines"])
+    parts.append((text_img, 0, 0))
+    y_cur = text_img.shape[0] + GAP
+    meta: dict = {"sig_box": None, "qr_box": None,
+                  "qr_payload": plan["qr_payload"]}
+    if plan["sig_seed"] is not None:
+        sig = signature_blob(plan["sig_seed"])
+        parts.append((sig, y_cur, plan["sig_x"]))
+        meta["sig_box"] = (y_cur, plan["sig_x"],
+                           y_cur + sig.shape[0] - 1,
+                           plan["sig_x"] + sig.shape[1] - 1)
+        y_cur += sig.shape[0] + GAP
+    if plan["qr_payload"] is not None:
+        qr = qrlite.encode(plan["qr_payload"])
+        parts.append((qr, y_cur, plan["qr_x"]))
+        meta["qr_box"] = (y_cur, plan["qr_x"],
+                          y_cur + qr.shape[0] - 1,
+                          plan["qr_x"] + qr.shape[1] - 1)
+        y_cur += qr.shape[0] + GAP
+    height = max(y + a.shape[0] for a, y, x in parts) + M
+    width = max(x + a.shape[1] for a, y, x in parts) + M
+    img = np.full((height, width), PAPER, dtype=np.uint8)
+    for a, y, x in parts:
+        region = img[y:y + a.shape[0], x:x + a.shape[1]]
+        np.minimum(region, a, out=region)
+    return img, meta
+
+
+def render_image_page(plan: dict) -> np.ndarray:
+    """Upright compose + exact shear rotation (the bytes that get PNG'd)."""
+    img, _ = compose_upright(plan)
+    return rotate_canvas(img, plan["angle"])
+
+
+def canonical_meta(plan: dict) -> dict:
+    """Ground-truth region geometry in the kernel's canonical frame
+    (origin = global ink bbox min - MARGIN), angle-independent because the
+    kernel's deskew exactly inverts ``rotate_canvas``."""
+    img, meta = compose_upright(plan)
+    iy, ix = np.nonzero(img < 128)
+    oy = int(iy.min()) - glyph_ocr.MARGIN
+    ox = int(ix.min()) - glyph_ocr.MARGIN
+
+    def canon(box):
+        if box is None:
+            return None
+        y0, x0, y1, x1 = box
+        return (float(x0 - ox), float(y0 - oy),
+                float(x1 + 1 - ox), float(y1 + 1 - oy))   # x0 y0 x1 y1
+
+    return {"sig_span": canon(meta["sig_box"]),
+            "qr_span": canon(meta["qr_box"]),
+            "qr_payload": meta["qr_payload"],
+            "angle": plan["angle"]}

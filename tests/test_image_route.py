@@ -1,0 +1,180 @@
+"""Image-route tests: exact shear rotation, skew estimation, connected
+components, QR-lite round trip, signature geometry, and the headline
+invariant — a rotated page extracts byte-identically to its upright twin.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from ocr_gpu_services_spark.core import qrlite
+from ocr_gpu_services_spark.core.components import connected_components
+from ocr_gpu_services_spark.core.extract import extract_document, get_atlas
+from ocr_gpu_services_spark.core.geometry import (
+    SKEW_GRID, derotate_canvas, estimate_skew, rotate_canvas)
+from ocr_gpu_services_spark.core.png import png_encode
+from ocr_gpu_services_spark.fixtures import imagegen
+from ocr_gpu_services_spark.fixtures.gen import gen_rows, image_expectations
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("deg", [-8.0, -4.5, -1.0, 1.5, 3.0, 8.0])
+def test_shear_rotation_roundtrip_exact(deg):
+    plan = imagegen.image_plan(random.Random(99), 99)
+    up, _ = imagegen.compose_upright(plan)
+    back = derotate_canvas(rotate_canvas(up, deg), deg)
+    iy, ix = np.nonzero(back < 128)
+    jy, jx = np.nonzero(up < 128)
+    assert (set(zip(iy - iy.min(), ix - ix.min()))
+            == set(zip(jy - jy.min(), jx - jx.min())))
+
+
+def test_estimate_skew_recovers_grid_angles():
+    plan = imagegen.image_plan(random.Random(5), 5)
+    up, _ = imagegen.compose_upright(plan)
+    for deg in (0.0, -6.5, -2.0, 1.0, 4.5, 8.0):
+        assert estimate_skew(rotate_canvas(up, deg)) == deg
+
+
+def test_skew_grid_has_no_subdegree_candidates():
+    assert 0.0 in SKEW_GRID
+    assert all(d == 0.0 or abs(d) >= 1.0 for d in SKEW_GRID)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def test_components_basic_shapes():
+    m = np.zeros((10, 12), bool)
+    m[1, 1] = True                       # lone pixel
+    m[3, 2:5] = True
+    m[4, 5] = True                       # diagonal touch merges (8-conn)
+    m[8, 0:3] = True
+    m[8, 5:7] = True                     # 2-column gap stays separate
+    assert connected_components(m) == [
+        {"y0": 1, "x0": 1, "y1": 1, "x1": 1, "area": 1},
+        {"y0": 3, "x0": 2, "y1": 4, "x1": 5, "area": 4},
+        {"y0": 8, "x0": 0, "y1": 8, "x1": 2, "area": 3},
+        {"y0": 8, "x0": 5, "y1": 8, "x1": 6, "area": 2},
+    ]
+
+
+def test_components_one_column_gap_does_not_merge():
+    m = np.zeros((3, 8), bool)
+    m[1, 0:2] = True
+    m[1, 3:5] = True
+    assert len(connected_components(m)) == 2
+
+
+def test_components_vs_bruteforce_flood_fill():
+    rng = random.Random(3)
+    for _ in range(10):
+        m = np.array([[rng.random() < 0.35 for _ in range(24)]
+                      for _ in range(16)])
+        got = connected_components(m)
+        # brute-force 8-conn flood fill
+        seen = np.zeros_like(m)
+        want = []
+        for y in range(m.shape[0]):
+            for x in range(m.shape[1]):
+                if m[y, x] and not seen[y, x]:
+                    stack, px = [(y, x)], []
+                    seen[y, x] = True
+                    while stack:
+                        cy, cx = stack.pop()
+                        px.append((cy, cx))
+                        for dy in (-1, 0, 1):
+                            for dx in (-1, 0, 1):
+                                ny, nx = cy + dy, cx + dx
+                                if (0 <= ny < m.shape[0]
+                                        and 0 <= nx < m.shape[1]
+                                        and m[ny, nx] and not seen[ny, nx]):
+                                    seen[ny, nx] = True
+                                    stack.append((ny, nx))
+                    ys = [p[0] for p in px]
+                    xs = [p[1] for p in px]
+                    want.append({"y0": min(ys), "x0": min(xs),
+                                 "y1": max(ys), "x1": max(xs),
+                                 "area": len(px)})
+        want.sort(key=lambda c: (c["y0"], c["x0"], c["y1"], c["x1"]))
+        assert got == want
+
+
+# ---------------------------------------------------------------------------
+# QR-lite
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("payload", ["A", "QR:0001234", "x" * 24])
+def test_qrlite_roundtrip(payload):
+    assert qrlite.try_decode(qrlite.encode(payload)) == payload
+
+
+def test_qrlite_rejects_non_markers():
+    assert qrlite.try_decode(np.full((36, 36), 255, np.uint8)) is None
+    assert qrlite.try_decode(np.zeros((36, 36), np.uint8)) is None   # solid
+    assert qrlite.try_decode(np.zeros((36, 35), np.uint8)) is None   # non-sq
+    corrupt = qrlite.encode("QR:0000042")
+    corrupt = corrupt.copy()
+    corrupt[15:18, 15:18] ^= 255          # flip one interior module
+    assert qrlite.try_decode(corrupt) is None  # checksum catches it
+
+
+# ---------------------------------------------------------------------------
+# end-to-end image route vs generator ground truth
+# ---------------------------------------------------------------------------
+
+def test_image_route_matches_plan_expectations_tiny():
+    get_atlas()
+    exps = {e["url"]: e for e in image_expectations("tiny")}
+    rows = {r["url"]: r for r in gen_rows("tiny") if r["url"] in exps}
+    assert len(exps) >= 20
+    n_sig = n_qr = n_rot = 0
+    for url, e in exps.items():
+        ct, text, spans, _dt, _cf, err = extract_document(rows[url]["html"],
+                                                          None)
+        assert ct == "image" and err is None and text
+        words = [s for s in spans if s.kind == "word"]
+        assert words and all(s.conf == 1.0 for s in words), url
+        qr = [s for s in spans if s.kind == "qr"]
+        sig = [s for s in spans if s.kind == "signature"]
+        if e["qr_payload"] is not None:
+            n_qr += 1
+            assert [(q.text, q.x0, q.y0, q.x1, q.y1) for q in qr] \
+                == [(e["qr_payload"], *e["qr_span"])], url
+        else:
+            assert not qr, url
+        if e["sig_span"] is not None:
+            n_sig += 1
+            assert [(s.x0, s.y0, s.x1, s.y1) for s in sig] \
+                == [e["sig_span"]], url
+            assert 0.05 < sig[0].conf < 0.5, url      # P8 density band
+        else:
+            assert not sig, url
+        n_rot += e["angle"] != 0.0
+    assert n_sig and n_qr and n_rot   # the corpus exercises all three
+
+
+def test_rotated_page_extracts_byte_identically_to_upright_twin():
+    get_atlas()
+    n_checked = 0
+    for e in image_expectations("tiny"):
+        if e["angle"] == 0.0:
+            continue
+        i = int(e["url"][-7:])
+        rng_i = random.Random((7 << 20) ^ i)
+        rng_i.random()                   # the row-kind draw
+        plan = imagegen.image_plan(rng_i, i)
+        assert plan["angle"] == e["angle"]
+        rot = png_encode(imagegen.render_image_page(plan))
+        upr = png_encode(imagegen.render_image_page(dict(plan, angle=0.0)))
+        _, t1, s1, *_ = extract_document(rot, None)
+        _, t2, s2, *_ = extract_document(upr, None)
+        assert t1.encode() == t2.encode(), e["url"]
+        assert [s.as_tuple() for s in s1] == [s.as_tuple() for s in s2]
+        n_checked += 1
+    assert n_checked >= 5
