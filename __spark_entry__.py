@@ -47,9 +47,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible query; non-relational
-    kernels (extract_e2e, nms_greedy, layout_classify, ann_lsh_topk,
-    multimodal_meta, spans_flatten) are deliberately omitted -> rows-only
-    check (extract_e2e's real gate is golden byte-identity via pytest)."""
-    from ocr_gpu_services_spark.plans.queries import ORACLE
-    return dict(ORACLE)
+    """DuckDB oracle SQL for every query except the two whose gate is
+    golden byte-identity via pytest (extract_e2e, spans_flatten) — those
+    are deliberately omitted -> rows-only check.  Non-SQL-expressible
+    operators carry generated VALUES oracles built from independent ground
+    truth (fixture-plan geometry, brute-force matching, render-side
+    metadata) or engine-twin SQL with the same literal constants."""
+    from ocr_gpu_services_spark.plans.queries import resolve_oracles
+    return resolve_oracles()

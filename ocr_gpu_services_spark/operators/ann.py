@@ -136,6 +136,42 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
             .select("q_id", "n_id", "rank", "cosine"))
 
 
+def lsh_topk_sql(query_ids: list[int], dim: int, k: int = 5,
+                 n_planes: int = 8, table: str = "embeddings") -> str:
+    """DuckDB twin of ``lsh_topk``: the SAME md5-seeded hyperplanes are
+    emitted as literal lists, so the bucket assignment — the approximate
+    part — is cross-checked engine-vs-engine, not just the re-rank."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket_terms = []
+    for p in range(n_planes):
+        lits = ", ".join(repr(float(v)) for v in planes[p])
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM {table}),
+    b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b
+          WHERE vec_id IN ({ids})),
+    scored AS (
+      SELECT q_id, c.vec_id AS n_id,
+             round(list_dot_product(qv, c.v)
+                   / sqrt(list_dot_product(qv, qv)
+                          * list_dot_product(c.v, c.v)), 4) AS cosine
+      FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q_id),
+    ranked AS (
+      SELECT q_id, n_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, n_id ASC) AS rank
+      FROM scored)
+    SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs (dedup family, driver mandate)
 # ---------------------------------------------------------------------------
@@ -181,6 +217,76 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
 
     return embeddings.select(id_col, emb_col).mapInPandas(
         score, "id_a long, id_b long, cosine double")
+
+
+def embedding_dup_pairs_lsh(embeddings: DataFrame, dim: int,
+                            threshold: float = 0.99,
+                            n_bands: int = 8, band_bits: int = 8,
+                            id_col: str = "vec_id",
+                            emb_col: str = "embedding") -> DataFrame:
+    """Bucketed near-dup pairs: the 100 TB shape of ``embedding_dup_pairs``.
+
+    No driver-side collect anywhere: vectors get ``n_bands`` independent
+    random-hyperplane bucket ids (one Arrow-batched matmul per batch — the
+    signature stage is pure map-side), candidates meet ONLY inside a
+    (band, bucket) group, and each group is scored with one dense BLAS
+    matmul in ``applyInPandas``.  The only shuffles are the band-bucket
+    groupBy (each vector travels n_bands times) and the final pair
+    distinct.  Recall: a pair at cosine c collides in one band w.p.
+    (1 - acos(c)/pi)^band_bits; with 8 bands x 8 bits a 0.99-cosine pair
+    is missed w.p. ~1e-4 per pair — and on the driver's deterministic
+    test corpora the pair sets are verified EQUAL to the exact operator's
+    (tests/test_spark_e2e.py), which is what lets this query share the
+    exact oracle SQL.  Degenerate-bucket guard at scale: AQE skew-join /
+    salting notes in PLANS.md §2 apply to the band join identically.
+    """
+    import pandas as pd
+
+    planes = np.vstack([_hyperplanes(dim, band_bits, seed=f"dup-lsh:{b}")
+                        for b in range(n_bands)])       # (bands*bits, dim)
+    weights = (2 ** np.arange(band_bits)).astype(np.int64)
+
+    def bucketize(it):
+        for pdf in it:
+            A = np.array(list(pdf[emb_col]), dtype=np.float64)
+            signs = (A @ planes.T) > 0                   # (n, bands*bits)
+            out = []
+            for b in range(n_bands):
+                bits = signs[:, b * band_bits:(b + 1) * band_bits]
+                out.append(pd.DataFrame({
+                    "band": b,
+                    "bucket": bits.astype(np.int64) @ weights,
+                    id_col: pdf[id_col].to_numpy(),
+                    emb_col: pdf[emb_col],
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    bucketed = embeddings.select(id_col, emb_col).mapInPandas(
+        bucketize, f"band int, bucket long, {id_col} long, "
+                   f"{emb_col} array<float>")
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        A = np.array(list(pdf[emb_col]), dtype=np.float64)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        norms = np.sqrt((A * A).sum(axis=1))
+        cos = np.round((A @ A.T) / np.outer(norms, norms), 4)
+        ai, bi = np.nonzero((cos >= threshold)
+                            & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
+                             "cosine": cos[ai, bi]})
+
+    pairs = (bucketed.groupBy("band", "bucket")
+             .applyInPandas(score_bucket,
+                            "id_a long, id_b long, cosine double"))
+    # a pair can surface from several bands; keep one row (cosine is the
+    # same exact computation everywhere — max() just makes the pick lazy
+    # and deterministic)
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine")))
 
 
 def embedding_dup_pairs_sql(table: str = "embeddings",

@@ -47,13 +47,24 @@ QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
 
 
-def q(name: str, sql: str | None = None):
+def q(name: str, sql=None):
+    """Register a query; ``sql`` is the DuckDB oracle — a string, or a
+    zero-arg callable for oracles that are expensive to build (resolved
+    once by ``resolve_oracles``)."""
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
         return fn
     return deco
+
+
+def resolve_oracles() -> dict[str, str]:
+    """ORACLE with lazy entries materialized (and cached)."""
+    for k, v in list(ORACLE.items()):
+        if callable(v):
+            ORACLE[k] = v()
+    return dict(ORACLE)
 
 
 # ===========================================================================
@@ -177,8 +188,12 @@ def ann_cosine_topk(spark, sf_dir):
     return ann.cosine_topk(_t(spark, sf_dir, "embeddings"), _ANN_QIDS, k=5)
 
 
-@q("ann_lsh_topk")  # approximate scale path; deterministic but not SQL-sane
+@q("ann_lsh_topk", ann.lsh_topk_sql(_ANN_QIDS, dim=64, k=5))
 def ann_lsh_topk(spark, sf_dir):
+    """Approximate scale path with a HARD oracle: the DuckDB twin rebuilds
+    the same md5-seeded hyperplane buckets from literal plane vectors, so
+    both the bucketing (the approximate part) and the exact re-rank are
+    value-checked engine-vs-engine."""
     return ann.lsh_topk(_t(spark, sf_dir, "embeddings"), _ANN_QIDS,
                         dim=64, k=5)
 
@@ -230,7 +245,51 @@ def iou_pairs(spark, sf_dir):
             .filter(F.col("iou") > 0))
 
 
-@q("nms_greedy")  # iterative, order-sensitive -> no SQL twin (SURVEY §2.4 A8)
+def _nms_supp_sql(a: int, b: int) -> str:
+    """supp(rank a suppresses rank b): IoU > 0.05 OR b contained in a —
+    the reference's exact drop rule (document_detector/main.py:38-98)."""
+    ix = (f"greatest(0.0, least(x{a} + w{a}, x{b} + w{b}) "
+          f"- greatest(x{a}, x{b}))")
+    iy = (f"greatest(0.0, least(y{a} + h{a}, y{b} + h{b}) "
+          f"- greatest(y{a}, y{b}))")
+    inter = f"({ix} * {iy})"
+    union = f"(w{a} * h{a} + w{b} * h{b} - {inter})"
+    contained = (f"(x{b} >= x{a} AND y{b} >= y{a} AND "
+                 f"x{b} + w{b} <= x{a} + w{a} AND y{b} + h{b} <= y{a} + h{a})")
+    return f"(({inter} / {union}) > 0.05 OR {contained})"
+
+
+_NMS_PIV = ", ".join(
+    f"max(CASE WHEN rn = {r} THEN {c} END) AS {c}{r}"
+    for r in (1, 2, 3) for c in ("box_id", "x", "y", "w", "h"))
+
+# greedy keep-largest NMS is iterative, but the gate corpus has EXACTLY 3
+# boxes per image (synthetic_boxes boxes_per_key=3), so the recursion
+# unrolls into closed-form keep flags over the area-ranked pivot:
+#   keep1 always; keep2 = !supp(1,2); keep3 = !supp(1,3) & !(keep2 & supp(2,3))
+_NMS_SQL = f"""
+WITH bx AS (SELECT * FROM ({{box_sql}}) WHERE image_id < 100),
+r AS (SELECT image_id, box_id, x, y, w, h,
+             row_number() OVER (PARTITION BY image_id
+                                ORDER BY w * h DESC, box_id ASC) AS rn
+      FROM bx),
+piv AS (SELECT image_id, {_NMS_PIV} FROM r GROUP BY image_id),
+flags AS (SELECT *,
+            NOT {_nms_supp_sql(1, 2)} AS keep2,
+            (NOT {_nms_supp_sql(1, 3)})
+              AND NOT ((NOT {_nms_supp_sql(1, 2)})
+                       AND {_nms_supp_sql(2, 3)}) AS keep3
+          FROM piv)
+SELECT image_id, box_id1 AS box_id, x1 AS x, y1 AS y, w1 AS w, h1 AS h
+FROM flags
+UNION ALL
+SELECT image_id, box_id2, x2, y2, w2, h2 FROM flags WHERE keep2
+UNION ALL
+SELECT image_id, box_id3, x3, y3, w3, h3 FROM flags WHERE keep3
+"""
+
+
+@q("nms_greedy", _NMS_SQL.format(box_sql=_BOX_SQL))
 def nms_greedy(spark, sf_dir):
     bx = boxes.synthetic_boxes(_t(spark, sf_dir, "part")) \
         .filter(F.col("image_id") < 100)
@@ -241,11 +300,9 @@ def nms_greedy(spark, sf_dir):
 # layout-match classifier (J3/U7) — grouped kernel, no SQL twin
 # ===========================================================================
 
-@q("layout_classify")
-def layout_classify(spark, sf_dir):
-    import pandas as pd
-
-    # deterministic synthetic templates + perturbed samples (FIXTURES.md §4)
+def _layout_fixture() -> tuple[list, list]:
+    """Deterministic synthetic templates + perturbed samples
+    (FIXTURES.md §4); shared by the Spark query and its brute-force oracle."""
     words = ["total", "fecha", "cliente", "importe", "firma", "numero"]
     tpl_rows, sample_rows = [], []
     for tid in range(3):
@@ -258,6 +315,76 @@ def layout_classify(spark, sf_dir):
         dx, dy = 3.0 * (did % 4), 2.0 * (did % 5)
         for (t, wrd, x, y, w, h) in [r for r in tpl_rows if r[0] == tid]:
             sample_rows.append((did, wrd, x + dx, y + dy, w, h))
+    return tpl_rows, sample_rows
+
+
+def _layout_truth_values() -> str:
+    """Expected layout_classify rows via BRUTE-FORCE assignment (enumerate
+    all injective word matchings) instead of the operator's O(n^3)
+    Hungarian solver — an independent check of the solver, the z-trim, the
+    log-damped cost and the threshold-reject, emitted as a VALUES oracle."""
+    import itertools
+    import math as _m
+
+    tpl_rows, sample_rows = _layout_fixture()
+
+    def bf_cost(srows, trows) -> float:
+        pairs = [(s, t) for s in srows for t in trows if s[1] == t[1]]
+        if not pairs:
+            return float("inf")
+        s_nodes = sorted({(s[1], s[2], s[3]) for s, _ in pairs})
+        t_nodes = sorted({(t[1], t[2], t[3]) for _, t in pairs})
+        big = 1e6
+        cost = [[big] * len(t_nodes) for _ in s_nodes]
+        for s, t in pairs:
+            i = s_nodes.index((s[1], s[2], s[3]))
+            j = t_nodes.index((t[1], t[2], t[3]))
+            d = _m.hypot((s[2] + s[4] / 2) - (t[2] + t[4] / 2),
+                         (s[3] + s[5] / 2) - (t[3] + t[5] / 2))
+            cost[i][j] = min(cost[i][j], d)
+        n, m = len(s_nodes), len(t_nodes)
+        if n <= m:
+            sel0 = min((tuple(cost[i][p[i]] for i in range(n))
+                        for p in itertools.permutations(range(m), n)),
+                       key=sum)
+        else:
+            sel0 = min((tuple(cost[p[j]][j] for j in range(m))
+                        for p in itertools.permutations(range(n), m)),
+                       key=sum)
+        sel = [c for c in sel0 if c < big]
+        if not sel:
+            return float("inf")
+        if len(sel) > 1:
+            mu = sum(sel) / len(sel)
+            sd = _m.sqrt(sum((c - mu) ** 2 for c in sel) / len(sel))
+            if sd > 0:
+                sel = [c for c in sel if abs((c - mu) / sd) <= 2.0]
+        if not sel:
+            return float("inf")
+        return _m.log1p(sum(sel) / len(sel))
+
+    rows = []
+    for did in sorted({r[0] for r in sample_rows}):
+        srows = [r for r in sample_rows if r[0] == did]
+        best_t, best_c = None, float("inf")
+        for tid in sorted({r[0] for r in tpl_rows}):
+            c = bf_cost(srows, [r for r in tpl_rows if r[0] == tid])
+            if c < best_c:
+                best_t, best_c = tid, c
+        if best_t is None or best_c > 2.0:
+            rows.append(f"({did}, -1, CAST('inf' AS DOUBLE))")
+        else:
+            rows.append(f"({did}, {best_t}, {round(best_c, 6)!r})")
+    return ("SELECT doc_id, CAST(template_id AS INTEGER) AS template_id, "
+            "CAST(cost AS DOUBLE) AS cost FROM (VALUES %s) "
+            "AS t(doc_id, template_id, cost)" % ", ".join(rows))
+
+
+@q("layout_classify", _layout_truth_values())
+def layout_classify(spark, sf_dir):
+    import pandas as pd
+
+    tpl_rows, sample_rows = _layout_fixture()
     tpl = pd.DataFrame(tpl_rows,
                        columns=["template_id", "word", "x", "y", "w", "h"])
     sample = spark.createDataFrame(
@@ -519,6 +646,21 @@ def dedup_embedding(spark, sf_dir):
     return ann.embedding_dup_pairs(e.unionByName(dup))
 
 
+@q("dedup_embedding_lsh", ann.embedding_dup_pairs_sql(
+    "(SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 5 = 0)"))
+def dedup_embedding_lsh(spark, sf_dir):
+    """The scale path of dedup_embedding: band-bucketed LSH + per-bucket
+    BLAS matmul, NO driver collect/broadcast of the corpus.  Same corpus
+    and the same exact-pairs oracle as dedup_embedding — the band
+    parameters give (verified) 100% recall on the test corpora, so the
+    approximate operator must reproduce the exact pair set to pass."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return ann.embedding_dup_pairs_lsh(e.unionByName(dup), dim=64)
+
+
 _DET_CONF = ("CAST(" + dedup.h32_sql(
     "CAST(image_id AS VARCHAR) || ':c:' || CAST(box_id AS VARCHAR)")
     + " % 10000 AS DOUBLE) / 10000.0")
@@ -552,13 +694,64 @@ def detect_threshold(spark, sf_dir):
                     "label"))
 
 
-@q("multimodal_meta")  # binary-column kernel; pages not in the oracle views
+def _multimodal_truth_values() -> str:
+    """Expected multimodal_meta rows, built GENERATOR-side: image dims and
+    mean luma come from the fixture's rendered array (render_image_page),
+    never from the png decoder the Spark query exercises — so the
+    bytes -> Arrow batch -> decode -> metadata path is checked against the
+    pre-encode ground truth.  (Only the broken row's error STRING is
+    reproduced via the decoder, since the error text is the decoder's.)
+    Lazy (callable oracle): building it renders the tiny corpus once."""
+    import random as _random
+
+    from ..core.png import png_decode
+    from ..core.sniff import sniff_content_type
+    from ..fixtures import imagegen
+    from ..fixtures.gen import SCALES, _row_kind, gen_rows
+
+    n = SCALES["tiny"]
+    pdf_block = range(int(n * 0.55), int(n * 0.55) + max(2, n // 25))
+    rows = []
+    for i, r in enumerate(gen_rows("tiny")):
+        ct = sniff_content_type(r["html"], r["text"])
+        n_bytes = len(r["html"]) if r["html"] is not None else 0
+        w = h = lum = err = None
+        rng_i = _random.Random((7 << 20) ^ i)
+        kind = _row_kind(i, rng_i.random(), pdf_block)
+        if kind == "image":
+            img = imagegen.render_image_page(imagegen.image_plan(rng_i, i))
+            w, h = int(img.shape[1]), int(img.shape[0])
+            lum = float(img.mean())
+        elif ct == "image":
+            # the broken fixture row: PNG magic, truncated body.  The
+            # QUERY's decode raises; mirror its error string
+            try:
+                png_decode(bytes(r["html"]))
+            except Exception as ex:
+                err = f"decode: {ex}"
+        sql_null = "NULL"
+        rows.append("('%s', '%s', %d, %s, %s, %s, %s)" % (
+            r["url"], ct, n_bytes,
+            w if w is not None else sql_null,
+            h if h is not None else sql_null,
+            repr(lum) if lum is not None else sql_null,
+            "'%s'" % err if err is not None else sql_null))
+    return ("SELECT url, content_type, CAST(n_bytes AS BIGINT) AS n_bytes, "
+            "CAST(width AS INTEGER) AS width, "
+            "CAST(height AS INTEGER) AS height, "
+            "CAST(mean_luma AS DOUBLE) AS mean_luma, error "
+            "FROM (VALUES %s) AS t(url, content_type, n_bytes, width, "
+            "height, mean_luma, error)" % ", ".join(rows))
+
+
+@q("multimodal_meta", _multimodal_truth_values)
 def multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: treat image/pdf/html payloads as opaque BINARY +
     typed metadata, decoded batch-wise in mapInPandas (Arrow batches, no
     per-row Python driver loop).  PNG decode is the engine's own pure-numpy
     implementation (core/png.py) — the stand-in for the stubbed cv2/PIL
-    decode the north star allows."""
+    decode the north star allows.  Oracle: generator-side render truth
+    (lazy VALUES, see _multimodal_truth_values)."""
     import pandas as pd
 
     from ..core.png import png_decode
@@ -668,26 +861,60 @@ def deskew_angle(spark, sf_dir):
                     F.round(angle, 4).alias("rotation_deg")))
 
 
-@q("qr_extract", """
-    SELECT doc_id, substr(text, 4) AS data, 'QRCODE' AS type
-    FROM (SELECT doc_id,
-                 'QR:' || CAST(doc_id * 37 AS VARCHAR) AS text
-          FROM documents WHERE doc_id % 11 = 0)
-    WHERE text LIKE 'QR:%'""")
+def _image_truth_values() -> tuple[str, str]:
+    """(qr VALUES sql, signature VALUES sql) from the fixture generator's
+    PLAN geometry (fixtures/gen.image_expectations) — placement arithmetic
+    only, independent of the detection pipeline the Spark side runs
+    (PNG decode -> deskew -> connected components -> QR decode / P7)."""
+    from ..fixtures.gen import image_expectations
+    qr_rows, sig_rows = [], []
+    for e in image_expectations("tiny"):
+        if e["qr_payload"] is not None:
+            qr_rows.append("('%s', '%s', 'QRLITE')"
+                           % (e["url"], e["qr_payload"]))
+        if e["sig_span"] is not None:
+            x0, y0, x1, y1 = e["sig_span"]
+            sig_rows.append("('%s', %r, %r, %r, %r)"
+                            % (e["url"], x0, y0, x1, y1))
+    qr_sql = ("SELECT * FROM (VALUES %s) AS t(url, data, type)"
+              % ", ".join(qr_rows))
+    sig_sql = ("SELECT url, CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) "
+               "AS y0, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1 "
+               "FROM (VALUES %s) AS t(url, x0, y0, x1, y1)"
+               % ", ".join(sig_rows))
+    return qr_sql, sig_sql
+
+
+_QR_TRUTH_SQL, _SIG_TRUTH_SQL = _image_truth_values()
+
+
+@q("qr_extract", _QR_TRUTH_SQL)
 def qr_extract(spark, sf_dir):
     """U3 (pyzbar QR decode, /root/reference/src/infrastructure/services/
-    optional_services.py:64-73): record shape {data: str(utf-8), type}.
-    The decode itself is a library stub (no pyzbar here); the Spark-side
-    record plumbing — marker detect + utf-8 decode as built-ins — is real:
-    synthetic payloads carry a deterministic 'QR:<payload>' marker."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
-    payload = F.encode(
-        F.concat(F.lit("QR:"), (F.col("doc_id") * 37).cast("string")),
-        "UTF-8")
-    qr = d.select("doc_id", F.decode(payload, "UTF-8").alias("text"))
-    return (qr.filter(F.col("text").startswith("QR:"))
-            .select("doc_id", F.substring("text", 4, 2 ** 30).alias("data"),
-                    F.lit("QRCODE").alias("type")))
+    optional_services.py:56-78): record shape {data: str(utf-8), type}.
+    REAL decode from payload bytes: the extraction kernel PNG-decodes the
+    page, deskews it, finds the marker as a connected component and reads
+    the payload back out of the pixels (core/qrlite.py).  The oracle is
+    the generator's planted ground truth, so a decode that merely looks
+    plausible cannot pass."""
+    ext = extract_pipeline(synthetic_pages(spark, "tiny"))
+    return (ext.select("url", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "qr")
+            .select("url", F.col("s.text").alias("data"),
+                    F.lit("QRLITE").alias("type")))
+
+
+@q("signature_spans", _SIG_TRUTH_SQL)
+def signature_spans(spark, sf_dir):
+    """P6+P7 from pixels (reference optional_services.py:86-106): contour
+    boxes of the decoded page filtered by the signature predicate, emitted
+    by the extraction kernel as kind='signature' spans.  Oracle = the
+    generator's planted scribble geometry (canonical frame), which the
+    kernel must re-discover via decode -> deskew -> connected components."""
+    ext = extract_pipeline(synthetic_pages(spark, "tiny"))
+    return (ext.select("url", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "signature")
+            .select("url", "s.x0", "s.y0", "s.x1", "s.y1"))
 
 
 _IMG_W = "CAST(600 + " + dedup.h32_sql(

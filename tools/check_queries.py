@@ -14,8 +14,11 @@ import duckdb
 
 sys.path.insert(0, ".")
 
-from ocr_gpu_services_spark.plans.queries import ORACLE, QUERIES  # noqa: E402
+from ocr_gpu_services_spark.plans.queries import (  # noqa: E402
+    QUERIES, resolve_oracles)
 from ocr_gpu_services_spark.session import get_spark  # noqa: E402
+
+ORACLE = resolve_oracles()
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
