@@ -31,6 +31,16 @@ from .textstats import fingerprint_col, fingerprint_sql, tokens_col, tokens_sql
 N_MINHASH = 8
 N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS = 2
 SIMHASH_BITS = 16
+# Degenerate-key guards (ON by default — the standard web-corpus fix for
+# boilerplate skew).  A shingle shared by more documents than MAX_SHINGLE_DF
+# carries no near-dup signal but makes the shingle equi-join quadratic in
+# its df; a minhash band bucket larger than MAX_BAND_BUCKET is almost
+# always a degenerate band (empty docs, boilerplate) and contributes
+# c-choose-2 candidate pairs.  Both caps bound per-key join fan-out at
+# 10^12-doc scale; the DuckDB oracles apply the identical rule, so the
+# gates stay exact.
+MAX_SHINGLE_DF = 1000
+MAX_BAND_BUCKET = 200
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +173,8 @@ def simhash_sql(table: str = "documents", where: str = "TRUE") -> str:
 # MinHash + LSH band-bucket candidate pairs
 # ---------------------------------------------------------------------------
 
-def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      max_bucket: int | None = MAX_BAND_BUCKET) -> DataFrame:
     # per-row minhash signature: NO explode/groupBy — each doc maps its own
     # shingle array through k salted hashes and takes array_min, so the
     # signature stage is pure map-side; the ONLY shuffle in the whole
@@ -192,6 +203,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"),
              F.col("b.bh").alias("bh"))
+    if max_bucket is not None:
+        # degenerate-bucket guard: a bucket of c docs fans out c*(c-1)/2
+        # candidate pairs; buckets above the cap are boilerplate/empty-doc
+        # collisions, not near-dup signal.  The window shuffles on the same
+        # (band, bh) key the self-join uses, so the exchange is reused.
+        from pyspark.sql import Window
+        bsz = F.count("*").over(Window.partitionBy("band", "bh"))
+        bands = bands.withColumn("_bsz", bsz) \
+                     .filter(F.col("_bsz") <= max_bucket).drop("_bsz")
     a, b_ = bands.alias("a"), bands.alias("b")
     return (a.join(b_, ["band", "bh"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -201,7 +221,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_lsh_pairs_sql(table: str = "documents",
-                          where: str = "TRUE") -> str:
+                          where: str = "TRUE",
+                          max_bucket: int | None = MAX_BAND_BUCKET) -> str:
     mins = ", ".join(
         f"min(CAST(('0x' || substr(md5('{k}:' || sh), 1, 8)) AS BIGINT)) AS m{k}"
         for k in range(N_MINHASH))
@@ -213,12 +234,15 @@ def minhash_lsh_pairs_sql(table: str = "documents",
             for r in range(rows_per_band))
         band_rows.append(f"SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM mins")
     bands = " UNION ALL ".join(band_rows)
+    guard = (f"QUALIFY count(*) OVER (PARTITION BY band, bh) <= {max_bucket}"
+             if max_bucket is not None else "")
     return f"""
     WITH sh AS (
       SELECT doc_id, unnest({shingles_sql('text')}) AS sh
       FROM {table} WHERE {where}),
     mins AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-    bands AS ({bands})
+    bands0 AS ({bands}),
+    bands AS (SELECT * FROM bands0 {guard})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b USING (band, bh)
     WHERE a.doc_id < b.doc_id
@@ -230,10 +254,23 @@ def minhash_lsh_pairs_sql(table: str = "documents",
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
-                        min_jaccard: float = 0.0) -> DataFrame:
+                        min_jaccard: float = 0.0,
+                        max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     sh = _exploded_shingles(docs, text_col, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    joinable = sh
+    if max_df is not None:
+        # boilerplate guard: a shingle present in df docs fans the
+        # self-join out df^2 rows; shingles above the cap (universal
+        # boilerplate) carry no near-dup signal and are excluded from the
+        # INTERSECTION only — |A| and |B| stay the true sizes, so jaccard
+        # for pairs below the cap is exact.  The df window shuffles on the
+        # same `sh` key the join uses (exchange reuse).
+        from pyspark.sql import Window
+        dfreq = F.count("*").over(Window.partitionBy("sh"))
+        joinable = sh.withColumn("_df", dfreq) \
+                     .filter(F.col("_df") <= max_df).drop("_df")
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (a.join(b, "sh")
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
@@ -253,15 +290,19 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs_sql(table: str = "documents",
                             where: str = "TRUE",
-                            min_jaccard: float = 0.0) -> str:
+                            min_jaccard: float = 0.0,
+                            max_df: int | None = MAX_SHINGLE_DF) -> str:
+    guard = (f"QUALIFY count(*) OVER (PARTITION BY sh) <= {max_df}"
+             if max_df is not None else "")
     return f"""
     WITH sh AS (
       SELECT DISTINCT doc_id, unnest({shingles_sql('text')}) AS sh
       FROM {table} WHERE {where}),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    joinable AS (SELECT * FROM sh {guard}),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+      FROM joinable a JOIN joinable b USING (sh) WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b, n_common,
            round(CAST(n_common AS DOUBLE)

@@ -1,0 +1,70 @@
+"""Degenerate-key guards for the dedup joins: a corpus where every document
+shares one universal boilerplate line must not blow the shingle / band
+joins up quadratically, must keep finding the planted near-dup pairs, and
+must stay value-identical to the DuckDB oracle running the same cap."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ocr_gpu_services_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    # 60 docs, ONE universal boilerplate sentence (hot shingles with df=60)
+    # + unique tails; docs 50-59 are exact near-dup twins of docs 0-9
+    boiler = ("subscribe to our newsletter accept all cookies all rights "
+              "reserved terms of service apply contact us today")
+    rows = []
+    for i in range(60):
+        tail_seed = i if i < 50 else i - 50
+        tail = " ".join(f"tail{tail_seed} token{tail_seed * 7 + k} unique"
+                        for k in range(6))
+        rows.append((i, f"{boiler} {tail}"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _duck(pdf, sql):
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return {tuple(r) for r in con.sql(sql).fetchall()}
+
+
+def test_ngram_jaccard_df_cap_bounds_join_and_matches_oracle(
+        spark, boiler_docs):
+    sdf, pdf = boiler_docs
+    got = {tuple(r) for r in
+           dedup.ngram_jaccard_pairs(sdf, max_df=10).collect()}
+    want = _duck(pdf, dedup.ngram_jaccard_pairs_sql(max_df=10))
+    assert got == want
+    # the planted twins survive the cap (their unique tails still join) …
+    twin_pairs = {(a, b) for (a, b, *_rest) in got if b == a + 50}
+    assert len(twin_pairs) == 10
+    # … and the universal boilerplate no longer pairs everything with
+    # everything: without the cap every one of the 60*59/2 pairs appears
+    assert len(got) < 60 * 59 / 2 / 2
+    uncapped = {tuple(r) for r in
+                dedup.ngram_jaccard_pairs(sdf, max_df=None).collect()}
+    assert len(uncapped) == 60 * 59 / 2
+
+
+def test_minhash_band_bucket_cap_bounds_join_and_matches_oracle(
+        spark, boiler_docs):
+    sdf, pdf = boiler_docs
+    got = {tuple(r) for r in
+           dedup.minhash_lsh_pairs(sdf, max_bucket=10).collect()}
+    want = _duck(pdf, dedup.minhash_lsh_pairs_sql(max_bucket=10))
+    assert got == want
+    # exact twins share every band; they must survive any sane cap
+    assert {(a, a + 50) for a in range(10)} <= got
+
+
+def test_default_caps_do_not_change_gate_corpus_results(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .filter("doc_id < 40")
+    capped = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    uncapped = {tuple(r) for r in
+                dedup.ngram_jaccard_pairs(docs, max_df=None).collect()}
+    assert capped == uncapped
