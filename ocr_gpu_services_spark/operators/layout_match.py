@@ -139,11 +139,13 @@ def _pair_cost(sample: pd.DataFrame, template: pd.DataFrame,
 
 
 def classify_against_templates(words: DataFrame, template_words: pd.DataFrame,
-                               cost_threshold: float = 2.0) -> DataFrame:
+                               cost_threshold: float = 2.0,
+                               id_type: str = "long") -> DataFrame:
     """words: (doc_id, word, x, y, w, h) one row per sample word.
     template_words: small pandas df (template_id, word, x, y, w, h) —
     broadcast to every task.  Returns (doc_id, template_id, cost) argmin
-    per doc with the reference's threshold-reject (model.py:180-191)."""
+    per doc with the reference's threshold-reject (model.py:180-191).
+    ``id_type`` lets callers key docs by url (string) instead of a long."""
     spark = words.sparkSession
     tpl_b = spark.sparkContext.broadcast(template_words)
 
@@ -163,4 +165,28 @@ def classify_against_templates(words: DataFrame, template_words: pd.DataFrame,
 
     return (words.groupBy("doc_id")
             .applyInPandas(per_doc,
-                           "doc_id long, template_id int, cost double"))
+                           f"doc_id {id_type}, template_id int, cost double"))
+
+
+def classify_extracted(extracted: DataFrame, template_words: pd.DataFrame,
+                       cost_threshold: float = 2.0) -> DataFrame:
+    """U7 wired into the flagship (the reference's classification route
+    initializes the layout classifier at src/ml/__init__.py:24-30 and runs
+    it over OCR output): match each document's kernel-produced WORD spans
+    against the template set and left-join (layout_template, layout_cost)
+    back onto the extraction output.  Docs without word spans (plain html
+    text, empty pages) keep NULLs — the classifier is an optional
+    enrichment, exactly like the reference's optional route."""
+    words = (extracted.select("url", F.explode("spans").alias("s"))
+             .filter(F.col("s.kind") == "word")
+             .select(F.col("url").alias("doc_id"),
+                     F.lower(F.col("s.text")).alias("word"),
+                     F.col("s.x0").alias("x"), F.col("s.y0").alias("y"),
+                     (F.col("s.x1") - F.col("s.x0")).alias("w"),
+                     (F.col("s.y1") - F.col("s.y0")).alias("h")))
+    cls = classify_against_templates(words, template_words,
+                                     cost_threshold, id_type="string")
+    cls = cls.select(F.col("doc_id").alias("url"),
+                     F.col("template_id").alias("layout_template"),
+                     F.col("cost").alias("layout_cost"))
+    return extracted.join(cls, "url", "left")

@@ -271,3 +271,39 @@ def test_streaming_windowed_crawl_stats(spark, tmp_path):
             (r["n"], r["b"]) for r in batch.collect()}
     for k, v in got.items():
         assert want.get(k) == v, (k, v, want.get(k))
+
+
+def test_layout_enrichment_on_extracted_spans(spark, extracted_rows):
+    """U7 wired into the flagship: build a template from one image page's
+    kernel-produced word spans; classify_extracted must assign that page
+    to the template at cost 0 and leave span-less docs NULL."""
+    import pandas as pd
+    from ocr_gpu_services_spark.operators.layout_match import (
+        classify_extracted)
+    from ocr_gpu_services_spark.sources.pages import synthetic_pages
+
+    # pick a deterministic image page with enough words
+    target_url, tpl_rows = None, []
+    for url in sorted(extracted_rows):
+        row = extracted_rows[url]
+        words = [s for s in row["spans"] if s["kind"] == "word"]
+        if row["content_type"] == "image" and len(words) >= 6:
+            target_url = url
+            tpl_rows = [(0, w["text"].lower(), w["x0"], w["y0"],
+                         w["x1"] - w["x0"], w["y1"] - w["y0"])
+                        for w in words]
+            break
+    assert target_url is not None
+    tpl = pd.DataFrame(
+        tpl_rows, columns=["template_id", "word", "x", "y", "w", "h"])
+
+    ext = extract_pipeline(synthetic_pages(spark, "tiny"))
+    out = {r["url"]: r for r in classify_extracted(ext, tpl).collect()}
+    assert len(out) == len(extracted_rows)      # left join keeps every doc
+    assert out[target_url]["layout_template"] == 0
+    assert out[target_url]["layout_cost"] == 0.0
+    no_words = [u for u, r in extracted_rows.items()
+                if not any(s["kind"] == "word" for s in r["spans"])]
+    assert no_words
+    for u in no_words:
+        assert out[u]["layout_template"] is None
