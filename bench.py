@@ -25,7 +25,7 @@ from ocr_gpu_services_spark.plans.extract_job import extract_pipeline  # noqa
 from ocr_gpu_services_spark.plans.queries import QUERIES  # noqa
 from ocr_gpu_services_spark.session import get_spark  # noqa
 from ocr_gpu_services_spark.sources.pages import (  # noqa
-    read_pages, write_pages_sharded)
+    pages_cache_is_current, read_pages, write_pages_sharded)
 
 BENCH_QUERIES = [
     "keyword_classify", "text_clean", "quality_score", "langid",
@@ -44,8 +44,9 @@ def main():
     scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "xbench")
     pages_cache = os.environ.get("SPARK_GRAFT_PAGES_DIR",
                                  f"/tmp/spark_graft_pages_{scale}")
-    if not os.path.exists(os.path.join(pages_cache, "_SUCCESS")):
-        # multiprocess sharded gen (128 files = 128 scan splits), no Spark
+    if not pages_cache_is_current(pages_cache):
+        # multiprocess sharded gen (128 files = 128 scan splits), no Spark;
+        # regenerated whenever the fixture generator's payloads change
         write_pages_sharded(scale, pages_cache, files=128,
                             procs=min(16, os.cpu_count() or 8))
     spark = get_spark(app="bench", cores=cpus, shuffle_partitions=128)

@@ -46,10 +46,21 @@ def connected_components(ink: np.ndarray) -> list[dict]:
     Returns a list of {y0, x0, y1, x1, area} dicts (bbox inclusive, area =
     ink pixel count), sorted by (y0, x0, y1, x1) for determinism.
     """
+    y0, x0, y1, x1, area = connected_components_arrays(ink)
+    return [{"y0": int(y0[i]), "x0": int(x0[i]),
+             "y1": int(y1[i]), "x1": int(x1[i]), "area": int(area[i])}
+            for i in range(y0.size)]
+
+
+def connected_components_arrays(ink: np.ndarray):
+    """Array form of ``connected_components``: five parallel int64 arrays
+    (y0, x0, y1, x1, area), lexicographically sorted by (y0, x0, y1, x1) —
+    the hot-kernel interface (no per-component Python objects)."""
     ry, rs, re = _runs(ink)
     n = ry.size
+    z = np.zeros(0, dtype=np.int64)
     if n == 0:
-        return []
+        return z, z, z, z, z
     w = ink.shape[1]
 
     # Adjacency pairs (i in row y, j in row y-1), fully vectorized: embed
@@ -101,8 +112,5 @@ def connected_components(ink: np.ndarray) -> list[dict]:
     np.minimum.at(x0, inv, rs)
     np.maximum.at(x1, inv, re - 1)
     np.add.at(area, inv, re - rs)
-    out = [{"y0": int(y0[i]), "x0": int(x0[i]),
-            "y1": int(y1[i]), "x1": int(x1[i]), "area": int(area[i])}
-           for i in range(k)]
-    out.sort(key=lambda c: (c["y0"], c["x0"], c["y1"], c["x1"]))
-    return out
+    order = np.lexsort((x1, y1, x0, y0))
+    return y0[order], x0[order], y1[order], x1[order], area[order]

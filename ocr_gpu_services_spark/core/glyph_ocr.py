@@ -94,7 +94,12 @@ def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
     flat = cells.reshape(-1, 64)
 
     # single vectorized matching step: agreement popcount against the atlas
-    agree = (flat[:, None, :] == atlas[None, :, :]).sum(axis=2)  # (N, K)
+    # via one small matmul — for 0/1 vectors a and b,
+    # eq-count = 64 - sum(a) - sum(b) + 2*(a . b)
+    ff = flat.astype(np.float32)
+    af = atlas.astype(np.float32)
+    agree = (64.0 - ff.sum(axis=1)[:, None] - af.sum(axis=1)[None, :]
+             + 2.0 * (ff @ af.T)).astype(np.int32)           # (N, K)
     best = agree.argmax(axis=1)
     conf = agree.max(axis=1) / 64.0
     blank = ~flat.any(axis=1)

@@ -39,7 +39,7 @@ def _is_p7_signature(w: int, h: int) -> bool:
 def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
                        ) -> tuple[str, list[Span]]:
     """Full image route; returns (extracted_text, spans)."""
-    from .components import connected_components
+    from .components import connected_components_arrays
 
     upright, _angle = deskew(img)
     ink = upright < 128
@@ -49,60 +49,71 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     oy = int(ys.min()) - MARGIN          # canonical-frame origin
     ox = int(xs.min()) - MARGIN
 
-    comps = connected_components(ink)
+    # fast path: if no horizontal ink band is taller than a glyph row,
+    # the page cannot contain a signature/marker region (those are 30+ px
+    # tall) — skip component labeling and OCR the page directly.  This is
+    # the majority case (plain scanned text).
+    rowink = ink.any(axis=1)
+    d = np.diff(rowink.astype(np.int8))
+    band_starts = np.nonzero(d == 1)[0] + 1
+    band_ends = np.nonzero(d == -1)[0] + 1
+    if rowink[0]:
+        band_starts = np.concatenate(([0], band_starts))
+    if rowink[-1]:
+        band_ends = np.concatenate((band_ends, [rowink.size]))
+    if int((band_ends - band_starts).max()) <= CELL:
+        text, word_spans = ocr_page(upright, atlas, charset)
+        return text, [Span(s.text, s.conf, s.x0 - ox, s.y0 - oy,
+                           s.x1 - ox, s.y1 - oy, s.kind)
+                      for s in word_spans]
+
+    cy0, cx0, cy1, cx1, carea = connected_components_arrays(ink)
+    h = cy1 - cy0 + 1
+    text_mask = h <= CELL                # glyph rows are exactly CELL tall
+    big_idx = np.nonzero(~text_mask)[0]  # few: signature / marker / stray
+
     qr_spans: list[Span] = []
     sig_spans: list[Span] = []
-    text_comps: list[dict] = []
     qr_boxes: list[tuple[int, int, int, int]] = []
-    strays: list[dict] = []
-    for c in comps:
-        w = c["x1"] - c["x0"] + 1
-        h = c["y1"] - c["y0"] + 1
-        if h <= CELL:
-            text_comps.append(c)
-            continue
-        payload = (qrlite.try_decode(
-            upright[c["y0"]:c["y1"] + 1, c["x0"]:c["x1"] + 1])
-            if w == h else None)
+    for i in big_idx:
+        y0, x0, y1, x1 = int(cy0[i]), int(cx0[i]), int(cy1[i]), int(cx1[i])
+        w, hh = x1 - x0 + 1, y1 - y0 + 1
+        payload = (qrlite.try_decode(upright[y0:y1 + 1, x0:x1 + 1])
+                   if w == hh else None)
         if payload is not None:
-            qr_boxes.append((c["y0"], c["x0"], c["y1"], c["x1"]))
+            qr_boxes.append((y0, x0, y1, x1))
             qr_spans.append(Span(
                 text=payload, conf=1.0,
-                x0=float(c["x0"] - ox), y0=float(c["y0"] - oy),
-                x1=float(c["x1"] + 1 - ox), y1=float(c["y1"] + 1 - oy),
-                kind="qr"))
-        elif _is_p7_signature(w, h):
+                x0=float(x0 - ox), y0=float(y0 - oy),
+                x1=float(x1 + 1 - ox), y1=float(y1 + 1 - oy), kind="qr"))
+        elif _is_p7_signature(w, hh):
             sig_spans.append(Span(
-                text="", conf=round(c["area"] / (w * h), 4),
-                x0=float(c["x0"] - ox), y0=float(c["y0"] - oy),
-                x1=float(c["x1"] + 1 - ox), y1=float(c["y1"] + 1 - oy),
+                text="", conf=round(int(carea[i]) / (w * hh), 4),
+                x0=float(x0 - ox), y0=float(y0 - oy),
+                x1=float(x1 + 1 - ox), y1=float(y1 + 1 - oy),
                 kind="signature"))
-        else:
-            strays.append(c)
 
     # components nested inside a decoded QR ring are the marker's interior
-    # modules, not page text — drop them from every bucket
-    def _inside_qr(c) -> bool:
-        return any(c["y0"] >= y0 and c["y1"] <= y1
-                   and c["x0"] >= x0 and c["x1"] <= x1
-                   for (y0, x0, y1, x1) in qr_boxes)
-
-    text_comps = [c for c in text_comps if not _inside_qr(c)]
+    # modules, not page text — drop them from the text set (vectorized)
+    for (y0, x0, y1, x1) in qr_boxes:
+        text_mask &= ~((cy0 >= y0) & (cy1 <= y1)
+                       & (cx0 >= x0) & (cx1 <= x1))
 
     text, word_spans = "", []
-    if text_comps:
-        # re-render ONLY the glyph components onto a clean cropped page so
-        # stray / signature / marker ink can't perturb the grid locator
-        ty0 = min(c["y0"] for c in text_comps)
-        tx0 = min(c["x0"] for c in text_comps)
-        ty1 = max(c["y1"] for c in text_comps)
-        tx1 = max(c["x1"] for c in text_comps)
-        text_img = np.full((ty1 - ty0 + 1, tx1 - tx0 + 1), 255,
-                           dtype=upright.dtype)
-        for c in text_comps:
-            text_img[c["y0"] - ty0:c["y1"] + 1 - ty0,
-                     c["x0"] - tx0:c["x1"] + 1 - tx0] = \
-                upright[c["y0"]:c["y1"] + 1, c["x0"]:c["x1"] + 1]
+    if text_mask.any():
+        # crop to the glyph region and blank the FEW non-text rects inside
+        # it, so stray / signature / marker ink can't perturb the grid
+        # locator (regions never overlap, so rect blanking is exact)
+        ty0 = int(cy0[text_mask].min())
+        tx0 = int(cx0[text_mask].min())
+        ty1 = int(cy1[text_mask].max())
+        tx1 = int(cx1[text_mask].max())
+        text_img = upright[ty0:ty1 + 1, tx0:tx1 + 1].copy()
+        for i in np.nonzero(~text_mask)[0]:
+            y0 = max(int(cy0[i]) - ty0, 0)
+            x0 = max(int(cx0[i]) - tx0, 0)
+            text_img[y0:int(cy1[i]) + 1 - ty0,
+                     x0:int(cx1[i]) + 1 - tx0] = 255
         text, word_spans = ocr_page(text_img, atlas, charset)
         word_spans = [Span(s.text, s.conf,
                            s.x0 + tx0 - ox, s.y0 + ty0 - oy,

@@ -64,6 +64,13 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
     stride = width + 1
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    if arr.size == height * stride:
+        mat = arr.reshape(height, stride)
+        if not mat[:, 0].any():
+            # filter-0 fast path (what our encoder and most scanners of
+            # flat scans emit): the whole image is one reshape + slice
+            return np.ascontiguousarray(mat[:, 1:])
     img = np.zeros((height, width), dtype=np.uint8)
     prev = np.zeros(width, dtype=np.int32)
     for r in range(height):

@@ -22,6 +22,10 @@ from .pdf_write import build_pdf, content_stream_ops
 SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
           "xbench": 400000}  # scaling-evidence corpus: compute >> fixed costs
 
+# bump whenever generated payload bytes change, so cached bench corpora
+# (bench.py's /tmp parquet cache) are regenerated instead of silently reused
+GEN_VERSION = "r2-imagegen-1"
+
 _WORDS_EN = (
     "pipeline spark batch arrow kernel parquet shuffle partition executor "
     "document extraction boilerplate heuristic layout reading order crawl "

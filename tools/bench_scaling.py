@@ -134,16 +134,17 @@ def main() -> int:
     # with executor count, a single local disk's does not — reading the
     # input from RAM keeps the two-parallelism comparison about COMPUTE,
     # which is what the N->4N criterion measures
+    from ocr_gpu_services_spark.sources.pages import (
+        pages_cache_is_current, write_pages_sharded)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     input_path = os.environ.get(
         "SPARK_GRAFT_PAGES_DIR", f"{shm}/spark_graft_pages_{args.scale}")
     disk_copy = f"/tmp/spark_graft_pages_{args.scale}"
-    if (not os.path.exists(os.path.join(input_path, "_SUCCESS"))
-            and os.path.exists(os.path.join(disk_copy, "_SUCCESS"))):
+    if (not pages_cache_is_current(input_path)
+            and pages_cache_is_current(disk_copy)):
         import shutil
         shutil.copytree(disk_copy, input_path, dirs_exist_ok=True)
-    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
-        from ocr_gpu_services_spark.sources.pages import write_pages_sharded
+    if not pages_cache_is_current(input_path):
         print(f"  generating {args.scale} corpus -> {input_path} ...",
               file=sys.stderr)
         write_pages_sharded(args.scale, input_path, files=PARTITIONS,
