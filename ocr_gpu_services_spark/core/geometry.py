@@ -56,10 +56,9 @@ def _shear_x(img: np.ndarray, offs: np.ndarray) -> np.ndarray:
     """dst[y, x] = src[y, x - offs[y]] (row y moves right by offs[y])."""
     h, w = img.shape
     src_x = np.arange(w)[None, :] - offs[:, None]
-    valid = (src_x >= 0) & (src_x < w)
-    out = np.full_like(img, PAPER)
-    yy = np.broadcast_to(np.arange(h)[:, None], (h, w))
-    out[valid] = img[yy[valid], src_x[valid]]
+    oob = (src_x < 0) | (src_x >= w)
+    out = np.take_along_axis(img, np.clip(src_x, 0, w - 1), axis=1)
+    out[oob] = PAPER
     return out
 
 
@@ -67,18 +66,23 @@ def _shear_y(img: np.ndarray, offs: np.ndarray) -> np.ndarray:
     """dst[y, x] = src[y - offs[x], x] (column x moves down by offs[x])."""
     h, w = img.shape
     src_y = np.arange(h)[:, None] - offs[None, :]
-    valid = (src_y >= 0) & (src_y < h)
-    out = np.full_like(img, PAPER)
-    xx = np.broadcast_to(np.arange(w)[None, :], (h, w))
-    out[valid] = img[src_y[valid], xx[valid]]
+    oob = (src_y < 0) | (src_y >= h)
+    out = np.take_along_axis(img, np.clip(src_y, 0, h - 1), axis=0)
+    out[oob] = PAPER
     return out
 
 
 def pad_for_rotation(img: np.ndarray, deg: float) -> np.ndarray:
-    """Pad with paper so the three shear passes never clip ink."""
+    """Pad with paper so the three shear passes never clip ink.  Offsets
+    are centered (range +-|coef|*extent/2), so each side needs only half
+    the shear range; rotate_canvas asserts no ink was clipped."""
     h, w = img.shape
-    pad_x = int(math.ceil(abs(math.tan(math.radians(deg) / 2.0)) * h)) + 4
-    pad_y = int(math.ceil(abs(math.sin(math.radians(deg))) * w)) + 4
+    t = abs(math.tan(math.radians(deg) / 2.0))
+    s = abs(math.sin(math.radians(deg)))
+    pad_y = int(math.ceil(s * w / 2.0)) + 3
+    # x shears twice; the second acts on rows already shifted by the
+    # y-shear, widening the reach by s*w/2 rows' worth of tan
+    pad_x = int(math.ceil(t * (h / 2.0 + s * w / 2.0)) * 2) + 3
     out = np.full((h + 2 * pad_y, w + 2 * pad_x), PAPER, dtype=img.dtype)
     out[pad_y:pad_y + h, pad_x:pad_x + w] = img
     return out
