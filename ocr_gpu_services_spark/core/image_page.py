@@ -36,32 +36,48 @@ def _is_p7_signature(w: int, h: int) -> bool:
     return 0.2 < ar < 5.0 and 100 < w < 500 and 50 < h < 200
 
 
+def _max_band_height(ink: np.ndarray) -> int:
+    """Tallest maximal run of consecutive ink-bearing rows."""
+    rowink = ink.any(axis=1)
+    if not rowink.any():
+        return 0
+    d = np.diff(rowink.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1
+    if rowink[0]:
+        starts = np.concatenate(([0], starts))
+    if rowink[-1]:
+        ends = np.concatenate((ends, [rowink.size]))
+    return int((ends - starts).max())
+
+
 def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
                        ) -> tuple[str, list[Span]]:
     """Full image route; returns (extracted_text, spans)."""
     from .components import connected_components_arrays
 
-    upright, _angle = deskew(img)
-    ink = upright < 128
+    # upright-text fast path, decided BEFORE the skew search: if no
+    # horizontal ink band is taller than a glyph row, the page has no
+    # rotation signal (a >=1-degree rotation smears glyph rows taller than
+    # CELL wherever its shear offsets are nonzero; where they are all zero
+    # the rotation IS the identity) and no signature/marker region (those
+    # are 30+ px tall) — so the skew estimate, derotation and component
+    # labeling are all skipped and the page OCRs directly.  This is the
+    # majority case (plain scanned text).
+    ink = img < 128
+    fast_upright = _max_band_height(ink) <= CELL
+    if fast_upright:
+        upright = img
+    else:
+        upright, _angle = deskew(img)
+        ink = upright < 128
     ys, xs = np.nonzero(ink)
     if ys.size == 0:
         return "", []
     oy = int(ys.min()) - MARGIN          # canonical-frame origin
     ox = int(xs.min()) - MARGIN
 
-    # fast path: if no horizontal ink band is taller than a glyph row,
-    # the page cannot contain a signature/marker region (those are 30+ px
-    # tall) — skip component labeling and OCR the page directly.  This is
-    # the majority case (plain scanned text).
-    rowink = ink.any(axis=1)
-    d = np.diff(rowink.astype(np.int8))
-    band_starts = np.nonzero(d == 1)[0] + 1
-    band_ends = np.nonzero(d == -1)[0] + 1
-    if rowink[0]:
-        band_starts = np.concatenate(([0], band_starts))
-    if rowink[-1]:
-        band_ends = np.concatenate((band_ends, [rowink.size]))
-    if int((band_ends - band_starts).max()) <= CELL:
+    if fast_upright or _max_band_height(ink) <= CELL:
         text, word_spans = ocr_page(upright, atlas, charset)
         return text, [Span(s.text, s.conf, s.x0 - ox, s.y0 - oy,
                            s.x1 - ox, s.y1 - oy, s.kind)
