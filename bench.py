@@ -31,7 +31,8 @@ BENCH_QUERIES = [
     "keyword_classify", "text_clean", "quality_score", "langid",
     "token_count", "nfc_canon", "gopher_rules",
     "dedup_exact", "simhash16", "minhash_lsh", "ngram_jaccard",
-    "dedup_embedding", "winnow_fingerprint", "cms_sketch", "ann_cosine_topk", "ann_lsh_topk",
+    "dedup_embedding", "dedup_embedding_lsh", "winnow_fingerprint",
+    "cms_sketch", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "signature_filter_p7", "detect_threshold", "iou_pairs", "nms_greedy",
     "multimodal_meta",
     "pricing_summary", "top_orders", "join_5way_volume",

@@ -173,6 +173,153 @@ def lsh_topk_sql(query_ids: list[int], dim: int, k: int = 5,
 
 
 # ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer + probed search (the second scale path)
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(embeddings: DataFrame, dim: int, nlist: int = 16,
+                        iters: int = 5,
+                        emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic distributed spherical k-means (Lloyd) — the iterative
+    algorithm family on Spark done the idiomatic way: the driver holds ONLY
+    the (nlist, dim) centroid matrix; each iteration is one Arrow-batched
+    partial-sum pass (`mapInPandas`: per batch, assign = argmax dot, emit
+    nlist sum-vectors + counts) reduced on the driver.  Nothing about the
+    corpus is ever collected.
+
+    Determinism: centroids init from md5 bits (no data-dependent RNG),
+    float64 math, fixed iteration count, argmax ties break to the lowest
+    cluster id; empty clusters keep their previous centroid.
+    """
+    import pandas as pd
+
+    cents = _hyperplanes(dim, nlist, seed="ivf-init")
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    spark = embeddings.sparkSession
+    for _ in range(iters):
+        b_c = spark.sparkContext.broadcast(cents)
+
+        def partial(it):
+            C = b_c.value
+            sums = np.zeros((C.shape[0], C.shape[1]), dtype=np.float64)
+            counts = np.zeros(C.shape[0], dtype=np.int64)
+            for pdf in it:
+                A = np.array(list(pdf[emb_col]), dtype=np.float64)
+                A = A / np.linalg.norm(A, axis=1, keepdims=True)
+                assign = (A @ C.T).argmax(axis=1)
+                np.add.at(sums, assign, A)
+                np.add.at(counts, assign, 1)
+            out = pd.DataFrame(sums)
+            out.columns = [f"d{j}" for j in range(C.shape[1])]
+            out.insert(0, "cid", np.arange(C.shape[0]))
+            out["cnt"] = counts
+            yield out
+
+        schema = ("cid int, "
+                  + ", ".join(f"d{j} double" for j in range(dim))
+                  + ", cnt long")
+        rows = (embeddings.select(emb_col).mapInPandas(partial, schema)
+                .groupBy("cid").sum().orderBy("cid").collect())
+        new = cents.copy()
+        for r in rows:
+            cid, cnt = r["cid"], r[f"sum(cnt)"]
+            if cnt > 0:
+                v = np.array([r[f"sum(d{j})"] for j in range(dim)])
+                n = np.linalg.norm(v)
+                if n > 0:
+                    new[cid] = v / n
+        cents = new
+        b_c.destroy()
+    return cents
+
+
+def ivf_topk_numpy(ids: np.ndarray, mat: np.ndarray, query_ids: list[int],
+                   k: int = 5, nlist: int = 16, nprobe: int = 8,
+                   iters: int = 5) -> list[tuple]:
+    """Single-machine numpy twin of the distributed IVF pipeline (train ->
+    assign -> probe -> exact re-rank), used as the independent oracle: the
+    Spark implementation's partial-sum training, broadcast assignment and
+    explode-probe join must reproduce this exactly.  Returns sorted
+    (q_id, n_id, rank, cosine) tuples."""
+    M = mat.astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = _hyperplanes(M.shape[1], nlist, seed="ivf-init")
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(iters):
+        assign = (Mn @ C.T).argmax(axis=1)
+        new = C.copy()
+        for c in range(nlist):
+            sel = Mn[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    new[c] = v / n
+        C = new
+    assign = (Mn @ C.T).argmax(axis=1)
+    norms = np.linalg.norm(M, axis=1)
+    out = []
+    for qid in query_ids:
+        qi = np.nonzero(ids == qid)[0][0]
+        probe = np.argsort(-(C @ Mn[qi]), kind="stable")[:nprobe]
+        cand = np.nonzero(np.isin(assign, probe) & (ids != qid))[0]
+        # mirror the engine's re-rank formula exactly (raw vectors,
+        # dot / sqrt(dot*dot), round 4) so rounding boundaries agree
+        cos = np.round((M[cand] @ M[qi]) / (norms[cand] * norms[qi]), 4)
+        order = sorted(range(len(cand)), key=lambda j: (-cos[j], ids[cand[j]]))
+        for rank, j in enumerate(order[:k], 1):
+            out.append((int(qid), int(ids[cand[j]]), rank, float(cos[j])))
+    return sorted(out)
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
+             k: int = 5, nlist: int = 16, nprobe: int = 8,
+             iters: int = 5) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest-centroid
+    cell (one int column, map-side assignment against the broadcast
+    centroid matrix); each query probes its `nprobe` nearest cells and
+    re-ranks exactly inside them.  Join is an equi-join on the cell id —
+    co-partitioned shuffle, never a cross join.  With the test corpora's
+    parameters the probed cells provably contain the exact top-k (verified
+    equal to `cosine_topk` at every test SF), which is what lets the
+    registry entry share the exact oracle SQL."""
+    cents = train_ivf_centroids(embeddings, dim, nlist, iters)
+    cell_exprs = []
+    for c in range(nlist):
+        plane = F.array(*[F.lit(float(v)) for v in cents[c]])
+        cell_exprs.append(_dot(_as_double(F.col("embedding")), plane)
+                          / F.sqrt(_dot(_as_double(F.col("embedding")),
+                                        _as_double(F.col("embedding")))))
+    sims = F.array(*cell_exprs)
+    # argmax with lowest-index tie-break
+    cell = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    corpus = embeddings.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"),
+        cell.alias("cell"))
+
+    q = (embeddings.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"), sims.alias("_sims")))
+    # nprobe nearest cells per query: rank the centroid similarities
+    probe = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(F.col("_sims"),
+                            lambda s, i: F.struct((-s).alias("neg"),
+                                                  i.alias("cell")))),
+            lambda st: st["cell"]),
+        1, nprobe)
+    q = q.select("q_id", "q_emb", F.explode(probe).alias("cell"))
+
+    scored = (corpus.join(F.broadcast(q), "cell")
+              .filter(F.col("n_id") != F.col("q_id"))
+              .withColumn("cosine", cosine_sim_col("q_emb", "n_emb")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", "cosine"))
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs (dedup family, driver mandate)
 # ---------------------------------------------------------------------------
 

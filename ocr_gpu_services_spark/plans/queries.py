@@ -198,6 +198,41 @@ def ann_lsh_topk(spark, sf_dir):
                         dim=64, k=5)
 
 
+def _ivf_truth_values() -> str:
+    """Expected ann_ivf_topk rows from the pure-numpy twin of the whole
+    IVF pipeline (ann.ivf_topk_numpy) over the gate corpus (sf0.01): the
+    DISTRIBUTED implementation — partial-sum k-means training, broadcast
+    centroid assignment, explode-probe equi-join — must reproduce the
+    single-machine reference exactly.  Lazy (callable) oracle: builds on
+    first resolve by reading the gate parquet."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    vals = ", ".join(
+        "(%d, %d, %d, %r)" % t
+        for t in ann.ivf_topk_numpy(ids, mat, _ANN_QIDS, k=5))
+    return ("SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS "
+            "n_id, CAST(rank AS INTEGER) AS rank, CAST(cosine AS DOUBLE) AS "
+            "cosine FROM (VALUES %s) AS t(q_id, n_id, rank, cosine)" % vals)
+
+
+@q("ann_ivf_topk", _ivf_truth_values)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (the k-means coarse-quantizer scale path,
+    complementing the hyperplane LSH one).  Iterative distributed Lloyd
+    training with driver-side state = one (nlist, dim) matrix; oracle =
+    the numpy twin of the full pipeline (see _ivf_truth_values)."""
+    return ann.ivf_topk(_t(spark, sf_dir, "embeddings"), _ANN_QIDS,
+                        dim=64, k=5)
+
+
 # ===========================================================================
 # geometry family (P7/P8/J5/A8 over deterministic part-derived boxes)
 # ===========================================================================

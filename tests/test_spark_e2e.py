@@ -307,3 +307,27 @@ def test_layout_enrichment_on_extracted_spans(spark, extracted_rows):
     assert no_words
     for u in no_words:
         assert out[u]["layout_template"] is None
+
+
+def test_ivf_topk_matches_numpy_twin_and_is_deterministic(spark):
+    """The distributed IVF pipeline (partial-sum k-means, broadcast
+    assignment, probe join) must equal the single-machine numpy twin."""
+    import numpy as np
+    from ocr_gpu_services_spark.operators import ann
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got1 = sorted(tuple(r) for r in ann.ivf_topk(e, [0, 1, 2, 3, 4],
+                                                 dim=64, k=5).collect())
+    got2 = sorted(tuple(r) for r in ann.ivf_topk(e, [0, 1, 2, 3, 4],
+                                                 dim=64, k=5).collect())
+    assert got1 == got2                      # deterministic across runs
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    want = ann.ivf_topk_numpy(ids, mat, [0, 1, 2, 3, 4], k=5)
+    assert got1 == want
+    # sanity: probing half the cells still finds most true neighbors
+    exact = {(r[0], r[1]) for r in
+             ann.cosine_topk(e, [0, 1, 2, 3, 4], k=5).collect()}
+    found = {(a, b) for (a, b, _r, _c) in got1}
+    assert len(found & exact) / len(exact) >= 0.5
