@@ -56,6 +56,18 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     """Full image route; returns (extracted_text, spans)."""
     from .components import connected_components_arrays
 
+    # U5 page extraction (reference aligner/utils/evaluation/
+    # page_extractor.py:17-95: find the document region, extract it,
+    # process the crop): page pixels are paper or ink; anything else is
+    # background (scanner bed / photo surround).  The crop's bbox is the
+    # placed page canvas itself, so downstream deskew stays pixel-exact.
+    page = (img < 128) | (img > 230)
+    if not page.all():
+        pys, pxs = np.nonzero(page)
+        if pys.size == 0:
+            return "", []
+        img = img[pys.min():pys.max() + 1, pxs.min():pxs.max() + 1]
+
     # upright-text fast path, decided BEFORE the skew search: if no
     # horizontal ink band is taller than a glyph row, the page has no
     # rotation signal (a >=1-degree rotation smears glyph rows taller than

@@ -69,8 +69,14 @@ def image_plan(rng: random.Random, i: int) -> dict:
     angle = 0.0
     if rng.random() < 0.45:
         angle = rng.choice([a for a in SKEW_GRID if abs(a) >= 1.0])
+    # ~1/3 of pages are "photographed on a scanner bed": the (possibly
+    # rotated) page sits on a mid-gray background and the kernel must
+    # find and crop the page region first (U5 page extraction)
+    bed = None
+    if rng.random() < 0.35:
+        bed = (rng.randint(10, 40), rng.randint(10, 40))
     return {"lines": lines, "sig_seed": sig_seed, "qr_payload": qr_payload,
-            "sig_x": sig_x, "qr_x": qr_x, "angle": angle}
+            "sig_x": sig_x, "qr_x": qr_x, "angle": angle, "bed": bed}
 
 
 def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
@@ -106,10 +112,24 @@ def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
     return img, meta
 
 
+BED = 176   # scanner-bed gray: neither ink (<128) nor paper (>230)
+
+
 def render_image_page(plan: dict) -> np.ndarray:
-    """Upright compose + exact shear rotation (the bytes that get PNG'd)."""
+    """Upright compose + exact shear rotation, optionally placed on a
+    scanner bed (the bytes that get PNG'd).  The placed page rect is
+    exactly the rotated canvas (paper incl. its rotation padding), so the
+    kernel's page-crop recovers the canvas dims and the derotation stays
+    pixel-exact."""
     img, _ = compose_upright(plan)
-    return rotate_canvas(img, plan["angle"])
+    img = rotate_canvas(img, plan["angle"])
+    if plan.get("bed"):
+        py, px = plan["bed"]
+        out = np.full((img.shape[0] + 2 * py, img.shape[1] + 2 * px), BED,
+                      dtype=np.uint8)
+        out[py:py + img.shape[0], px:px + img.shape[1]] = img
+        img = out
+    return img
 
 
 def canonical_meta(plan: dict) -> dict:

@@ -178,3 +178,25 @@ def test_rotated_page_extracts_byte_identically_to_upright_twin():
         assert [s.as_tuple() for s in s1] == [s.as_tuple() for s in s2]
         n_checked += 1
     assert n_checked >= 5
+
+
+def test_bedded_page_extracts_identically_to_bare_twin():
+    """U5 page extraction: a page photographed on a scanner bed must crop
+    and extract byte-identically to the bare page."""
+    get_atlas()
+    n = 0
+    for e in image_expectations("tiny"):
+        i = int(e["url"][-7:])
+        rng_i = random.Random((7 << 20) ^ i)
+        rng_i.random()
+        plan = imagegen.image_plan(rng_i, i)
+        if not plan.get("bed"):
+            continue
+        bed = png_encode(imagegen.render_image_page(plan))
+        bare = png_encode(imagegen.render_image_page(dict(plan, bed=None)))
+        _, t1, s1, *_ = extract_document(bed, None)
+        _, t2, s2, *_ = extract_document(bare, None)
+        assert t1.encode() == t2.encode()
+        assert [s.as_tuple() for s in s1] == [s.as_tuple() for s in s2]
+        n += 1
+    assert n >= 3
