@@ -1220,3 +1220,168 @@ def gopher_rules(spark, sf_dir):
     cols = textstats.gopher_cols("text")
     return _tw(spark, sf_dir, "documents").select(
         "doc_id", *[c.alias(nm) for nm, c in cols.items()])
+
+
+# ===========================================================================
+# round-2 widening: crawl-pipeline ops — URL canonicalization dedup,
+# C4-style paragraph-level dedup, JSON property extraction
+# ===========================================================================
+
+# shared deterministic URL construction (the operator under test is the
+# CANONICALIZATION, not the construction — same pattern as synthetic_boxes):
+# mixed-case host, optional trailing slash, tracking params carrying the
+# full doc_id (so only canonicalization makes duplicates collide), unsorted
+# query params, optional fragment
+def _url_spark():
+    return F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/Path"), (F.col("doc_id") % 13).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), (F.col("doc_id") % 50).cast("string"),
+        F.lit("&utm_campaign=c"), F.col("doc_id").cast("string"),
+        F.lit("&b=2&a=1"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")))
+
+_URL_SQL = ("'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.Example.COM/Path' || CAST(doc_id % 13 AS VARCHAR) || "
+            "(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || "
+            "'?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR) || "
+            "'&utm_campaign=c' || CAST(doc_id AS VARCHAR) || '&b=2&a=1' || "
+            "(CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)")
+
+
+@q("url_canonicalize", f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([a-zA-Z]+)://([^/?#]+)', 1))
+               AS scheme,
+             lower(regexp_extract(url, '^([a-zA-Z]+)://([^/?#]+)', 2))
+               AS host,
+             regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u),
+    canon AS (
+      SELECT doc_id, scheme, host,
+             CASE WHEN path <> '/' AND path LIKE '%/'
+                  THEN substr(path, 1, length(path) - 1) ELSE path END AS cpath,
+             array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p NOT LIKE 'utm_%')), '&') AS cquery
+      FROM parts)
+    SELECT scheme || '://' || host || cpath
+           || CASE WHEN cquery <> '' THEN '?' || cquery ELSE '' END
+             AS canonical_url,
+           count(*) AS n_urls, min(doc_id) AS first_doc_id
+    FROM canon GROUP BY 1""")
+def url_canonicalize(spark, sf_dir):
+    """Crawl-pipeline URL canonicalization + dedup: lowercase scheme/host,
+    strip the fragment, drop utm_* tracking params, sort the remaining
+    query params, trim the trailing slash — then group by the canonical
+    form.  Pure built-in expressions (regexp_extract + array HOFs), zero
+    Python; the shuffle is the final groupBy on the canonical key.  URLs
+    that differ only in tracking params / case / fragment collapse."""
+    u = _t(spark, sf_dir, "documents").select("doc_id",
+                                              _url_spark().alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://([^/?#]+)", 1))
+    host = F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://([^/?#]+)", 2))
+    path = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    cpath = F.when((path != "/") & path.endswith("/"),
+                   F.expr("substring(path, 1, length(path) - 1)")) \
+             .otherwise(path)
+    cquery = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"),
+                              lambda p: ~p.startswith("utm_"))), "&")
+    canon = (u.withColumn("path", path)
+             .select("doc_id",
+                     F.concat(scheme, F.lit("://"), host, cpath,
+                              F.when(cquery != "",
+                                     F.concat(F.lit("?"), cquery))
+                               .otherwise(F.lit("")))
+                      .alias("canonical_url")))
+    return (canon.groupBy("canonical_url")
+            .agg(F.count("*").alias("n_urls"),
+                 F.min("doc_id").alias("first_doc_id")))
+
+
+_PARA_TOKS = 10
+
+
+@q("para_dedup", f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents
+      WHERE doc_id < 150 AND doc_id % 4 = 0),
+    toks AS (SELECT doc_id, {textstats.tokens_sql('text')} AS t FROM corpus),
+    paras AS (
+      SELECT doc_id, CAST(p AS INTEGER) AS p,
+             array_to_string(list_slice(t, (p - 1) * {_PARA_TOKS} + 1,
+                                        p * {_PARA_TOKS}), ' ') AS para
+      FROM toks, LATERAL unnest(generate_series(
+               1, CAST(ceil(len(t) / {_PARA_TOKS}.0) AS BIGINT))) AS u(p)),
+    marked AS (
+      SELECT doc_id, p, para,
+             row_number() OVER (PARTITION BY para
+                                ORDER BY doc_id, p) AS rn
+      FROM paras)
+    SELECT doc_id, count(*) AS n_paras,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           coalesce(array_to_string(list(CASE WHEN rn = 1 THEN para END
+                                         ORDER BY p) FILTER (rn = 1), ' | '),
+                    '') AS text_kept
+    FROM marked GROUP BY doc_id""")
+def para_dedup(spark, sf_dir):
+    """C4-style paragraph-level exact dedup at corpus scope: split each
+    doc into {_PARA_TOKS}-token paragraphs, keep only the FIRST occurrence
+    of each distinct paragraph corpus-wide (order: doc_id, then position),
+    and reassemble the surviving text per doc.  Re-ingested duplicate docs
+    (planted as doc_id+100000) keep zero paragraphs.  One shuffle for the
+    per-paragraph window + the final per-doc groupBy."""
+    d = _tw(spark, sf_dir, "documents").filter(F.col("doc_id") < 150) \
+        .select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = d.unionByName(dup)
+    toks = corpus.withColumn("t", textstats.tokens_col(F.col("text")))
+    n_paras = F.ceil(F.size("t") / _PARA_TOKS).cast("int")
+    paras = toks.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), n_paras),
+            lambda p: F.array_join(
+                F.slice("t", (p - 1) * _PARA_TOKS + 1, _PARA_TOKS), " ")))
+         .alias("p0", "para")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "para")
+    w = Window.partitionBy("para").orderBy("doc_id", "p")
+    marked = paras.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("p", "para"))
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_paras"),
+                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_struct)),
+                         lambda s: s["para"]), " | ").alias("text_kept")))
+
+
+@q("json_props", """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+             AS avg_k,
+           sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                         >= 50 THEN 1 ELSE 0 END) AS n_high
+    FROM events GROUP BY event_type""")
+def json_props(spark, sf_dir):
+    """JSON property extraction (scalar-function family): parse the
+    events.props JSON column with the built-in get_json_object (JVM-side,
+    no UDF) and aggregate per event type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(k), 4).alias("avg_k"),
+                 F.sum(F.when(k >= 50, 1).otherwise(0)).alias("n_high")))
