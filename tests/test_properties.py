@@ -47,3 +47,79 @@ def test_canonicalization_idempotent(s):
 def test_sniff_total(payload, text):
     assert sniff_content_type(payload, text) in {
         "html", "pdf", "image", "text", "unknown"}
+
+
+@settings(max_examples=100, deadline=None)
+@given(payload=st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=1, max_size=24))
+def test_qrlite_roundtrip_property(payload):
+    """Any printable payload up to MAX_PAYLOAD encodes to a marker the
+    decoder reads back verbatim."""
+    from ocr_gpu_services_spark.core import qrlite
+    assert qrlite.try_decode(qrlite.encode(payload)) == payload
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2 ** 20),
+       deg_halves=st.integers(-16, 16),
+       h=st.integers(12, 80), w=st.integers(12, 120))
+def test_shear_rotation_roundtrip_property(seed, deg_halves, h, w):
+    """rotate -> derotate restores ANY ink pattern exactly (up to the
+    translation the padding introduces), for every grid angle."""
+    import random as _r
+
+    import numpy as np
+
+    from ocr_gpu_services_spark.core.geometry import (derotate_canvas,
+                                                      rotate_canvas)
+    deg = deg_halves * 0.5
+    if 0 < abs(deg) < 1.0:
+        deg = float(np.sign(deg))        # grid has no sub-degree angles
+    rng = _r.Random(seed)
+    img = np.full((h, w), 255, np.uint8)
+    for _ in range(max(3, h * w // 20)):
+        img[rng.randrange(h), rng.randrange(w)] = 0
+    back = derotate_canvas(rotate_canvas(img, deg), deg)
+    iy, ix = np.nonzero(back < 128)
+    jy, jx = np.nonzero(img < 128)
+    assert set(zip(iy - iy.min(), ix - ix.min())) \
+        == set(zip(jy - jy.min(), jx - jx.min()))
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2 ** 20), h=st.integers(1, 24),
+       w=st.integers(1, 40), density=st.floats(0.05, 0.6))
+def test_components_match_bruteforce_property(seed, h, w, density):
+    import random as _r
+
+    import numpy as np
+
+    from ocr_gpu_services_spark.core.components import connected_components
+    rng = _r.Random(seed)
+    m = np.array([[rng.random() < density for _ in range(w)]
+                  for _ in range(h)])
+    got = connected_components(m)
+    seen = np.zeros_like(m)
+    want = []
+    for y in range(h):
+        for x in range(w):
+            if m[y, x] and not seen[y, x]:
+                stack, px = [(y, x)], []
+                seen[y, x] = True
+                while stack:
+                    cy, cx = stack.pop()
+                    px.append((cy, cx))
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            ny, nx = cy + dy, cx + dx
+                            if (0 <= ny < h and 0 <= nx < w
+                                    and m[ny, nx] and not seen[ny, nx]):
+                                seen[ny, nx] = True
+                                stack.append((ny, nx))
+                ys = [p[0] for p in px]
+                xs = [p[1] for p in px]
+                want.append({"y0": min(ys), "x0": min(xs), "y1": max(ys),
+                             "x1": max(xs), "area": len(px)})
+    want.sort(key=lambda c: (c["y0"], c["x0"], c["y1"], c["x1"]))
+    assert got == want
