@@ -1385,3 +1385,54 @@ def json_props(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.round(F.avg(k), 4).alias("avg_k"),
                  F.sum(F.when(k >= 50, 1).otherwise(0)).alias("n_high")))
+
+
+_CF_Q = textstats.quality_sql("text")
+_CF_G = textstats.gopher_sql("text")
+
+
+@q("corpus_filter", f"""
+    WITH base AS (
+      SELECT doc_id,
+             {textstats.fingerprint_sql('text')} AS fp,
+             {textstats.langid_sql('text')} AS lang,
+             {_CF_Q['quality_ok']} AS quality_ok,
+             CASE WHEN {_CF_G['gopher_keep']} THEN 1 ELSE 0 END AS gopher_ok
+      FROM documents),
+    marked AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM base)
+    SELECT doc_id, lang,
+           CASE WHEN rn > 1 THEN 'duplicate'
+                WHEN quality_ok = 0 THEN 'low_quality'
+                WHEN gopher_ok = 0 THEN 'gopher_reject'
+                ELSE 'kept' END AS reason,
+           CASE WHEN rn = 1 AND quality_ok = 1 AND gopher_ok = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM marked""")
+def corpus_filter(spark, sf_dir):
+    """The training-data pipeline composed end to end in ONE pass: exact
+    dedup (first occurrence per content fingerprint wins), quality rules,
+    Gopher rules and language ID evaluated together, emitting a keep flag
+    + the first failing reason per document — the decision record a 100 TB
+    corpus run materializes next to the text.  Everything is built-in
+    expressions; the only shuffle is the fingerprint window (the dedup)."""
+    d = _tw(spark, sf_dir, "documents")
+    q_ = textstats.quality_cols("text")
+    g = textstats.gopher_cols("text")
+    base = d.select(
+        "doc_id",
+        textstats.fingerprint_col("text").alias("fp"),
+        textstats.langid_col("text").alias("lang"),
+        q_["quality_ok"].alias("quality_ok"),
+        g["gopher_keep"].cast("int").alias("gopher_ok"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    m = base.withColumn("rn", F.row_number().over(w))
+    reason = (F.when(F.col("rn") > 1, "duplicate")
+              .when(F.col("quality_ok") == 0, "low_quality")
+              .when(F.col("gopher_ok") == 0, "gopher_reject")
+              .otherwise("kept"))
+    keep = F.when((F.col("rn") == 1) & (F.col("quality_ok") == 1)
+                  & (F.col("gopher_ok") == 1), 1).otherwise(0)
+    return m.select("doc_id", "lang", reason.alias("reason"),
+                    keep.alias("keep"))
