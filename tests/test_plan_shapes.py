@@ -1,0 +1,61 @@
+"""Physical-plan regression guards for the round-2 operators: the scale
+properties we claim (column pruning, pushdown, no driver collect, bounded
+shuffle count) must be visible in the plan, not just asserted in prose."""
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.01"
+
+
+def test_url_canonicalize_prunes_to_one_column(spark, sf_dir):
+    from ocr_gpu_services_spark.plans.queries import QUERIES
+    plan = _plan(QUERIES["url_canonicalize"](spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint>" in plan   # text never read
+    assert plan.count("Exchange (") == 1                 # the groupBy only
+
+
+def test_para_dedup_pushes_the_id_filter(spark, sf_dir):
+    from ocr_gpu_services_spark.plans.queries import QUERIES
+    plan = _plan(QUERIES["para_dedup"](spark, sf_dir))
+    assert "LessThan(doc_id,150)" in plan                # reaches the scan
+
+
+def test_dedup_embedding_lsh_has_no_driver_collect(spark, sf_dir):
+    from ocr_gpu_services_spark.operators import ann
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(ann.embedding_dup_pairs_lsh(e, dim=64))
+    # distributed end to end: signature MapInPandas -> bucket groupBy ->
+    # grouped-map matmul -> pair distinct; nothing is collected/broadcast
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CollectLimit" not in plan and "Broadcast" not in plan
+    assert plan.count("Exchange (") <= 2
+
+
+def test_minhash_guard_reuses_the_band_exchange(spark, sf_dir):
+    from ocr_gpu_services_spark.operators import dedup
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").filter(F.col("doc_id") < 60)
+    plan = _plan(dedup.minhash_lsh_pairs(docs))
+    # the bucket-size window partitions on the SAME (band, bh) key the
+    # self-join hashes on, so its exchange is the join's exchange
+    assert "Window" in plan
+    assert "hashpartitioning(band" in plan
+
+
+def test_extraction_pipeline_single_python_crossing(spark):
+    from ocr_gpu_services_spark.plans.extract_job import extract_pipeline
+    from ocr_gpu_services_spark.sources.pages import synthetic_pages
+    plan = _plan(extract_pipeline(synthetic_pages(spark, "tiny")))
+    assert plan.count("MapInArrow (") == 1     # ONE JVM->Python crossing
+    assert "BatchEvalPython" not in plan       # no row-at-a-time Python
