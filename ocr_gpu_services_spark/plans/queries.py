@@ -1436,3 +1436,133 @@ def corpus_filter(spark, sf_dir):
                   & (F.col("gopher_ok") == 1), 1).otherwise(0)
     return m.select("doc_id", "lang", reason.alias("reason"),
                     keep.alias("keep"))
+
+
+# ===========================================================================
+# round-2 widening: multimodal resize + video frame-sampling plumbing
+# ===========================================================================
+
+def _mm_resize_truth_values() -> str:
+    """Expected multimodal_resize rows, generator-side: render the page
+    array, resize with the same deterministic NN math, fingerprint the
+    thumbnail bytes.  The Spark path must reproduce it THROUGH the full
+    binary round trip (png encode -> Arrow batch -> decode -> resize)."""
+    import hashlib
+    import random as _random
+
+    from ..fixtures import imagegen
+    from ..fixtures.gen import SCALES, _row_kind
+    from ..operators.multimodal import resize_nn
+
+    n = SCALES["tiny"]
+    pdf_block = range(int(n * 0.55), int(n * 0.55) + max(2, n // 25))
+    rows = []
+    for i in range(n):
+        rng_i = _random.Random((7 << 20) ^ i)
+        if _row_kind(i, rng_i.random(), pdf_block) != "image":
+            continue
+        img = imagegen.render_image_page(imagegen.image_plan(rng_i, i))
+        th = resize_nn(img, 16, 16)
+        rows.append("('https://pages.example/p/%07d', %d, %d, '%s')" % (
+            i, img.shape[1], img.shape[0],
+            hashlib.md5(th.tobytes()).hexdigest()))
+    return ("SELECT url, CAST(width AS INTEGER) AS width, "
+            "CAST(height AS INTEGER) AS height, thumb_md5 "
+            "FROM (VALUES %s) AS t(url, width, height, thumb_md5)"
+            % ", ".join(rows))
+
+
+@q("multimodal_resize", _mm_resize_truth_values)
+def multimodal_resize(spark, sf_dir):
+    """P10 at table level: decode BINARY image payloads in Arrow batches,
+    nearest-neighbor-resize to a 16x16 thumbnail, emit dims + thumbnail
+    fingerprint.  Oracle = generator-side render truth (lazy VALUES)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..core.png import png_decode
+    from ..core.sniff import sniff_content_type
+    from ..operators.multimodal import resize_nn
+
+    pages = synthetic_pages(spark, "tiny")
+
+    def kern(it):
+        for pdf in it:
+            out = {"url": [], "width": [], "height": [], "thumb_md5": []}
+            for url, payload, pre in zip(pdf["url"], pdf["html"],
+                                         pdf["text"]):
+                if sniff_content_type(payload, pre) != "image":
+                    continue
+                try:
+                    img = png_decode(bytes(payload))
+                except Exception:
+                    continue
+                th = resize_nn(img, 16, 16)
+                out["url"].append(url)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["thumb_md5"].append(
+                    hashlib.md5(th.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(
+        kern, "url string, width int, height int, thumb_md5 string")
+
+
+_VFS_EVERY = 2
+
+
+@q("video_frame_sample", f"""
+    WITH v AS (SELECT doc_id,
+                      doc_id % 4 + 2 AS n_frames,
+                      8 + doc_id % 5 AS fw,
+                      6 + doc_id % 3 AS fh
+               FROM documents WHERE doc_id < 60)
+    SELECT doc_id, n_frames,
+           CAST(ceil(n_frames / {_VFS_EVERY}.0) AS INTEGER) AS n_sampled,
+           CAST(fw AS INTEGER) AS frame_w, CAST(fh AS INTEGER) AS frame_h,
+           CAST((doc_id * 13) % 256 AS INTEGER) AS first_frame_luma
+    FROM v""")
+def video_frame_sample(spark, sf_dir):
+    """Frame sampling over an opaque video BINARY column: a deterministic
+    VFRM container (length-prefixed PNG frames) is BUILT from per-doc
+    formulas, then the operator PARSES the bytes back — container walk,
+    every-k-th-frame sample, per-frame decode — all inside one
+    mapInPandas.  The oracle computes the same metadata arithmetically
+    from the construction formulas, so any byte-level mistake in the
+    container/PNG round trip fails the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from ..core.png import png_decode, png_encode
+    from ..operators.multimodal import build_container, sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60) \
+        .select("doc_id")
+
+    def kern(it):
+        for pdf in it:
+            out = {"doc_id": [], "n_frames": [], "n_sampled": [],
+                   "frame_w": [], "frame_h": [], "first_frame_luma": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = did % 4 + 2
+                fw, fh = 8 + did % 5, 6 + did % 3
+                frames = [png_encode(np.full(
+                    (fh, fw), (did * 13 + f) % 256, np.uint8))
+                    for f in range(nf)]
+                blob = build_container(frames)     # ...and parse it back:
+                sampled = sample_frames(blob, _VFS_EVERY)
+                imgs = [png_decode(s) for s in sampled]
+                out["doc_id"].append(did)
+                out["n_frames"].append(nf)
+                out["n_sampled"].append(len(imgs))
+                out["frame_w"].append(imgs[0].shape[1])
+                out["frame_h"].append(imgs[0].shape[0])
+                out["first_frame_luma"].append(int(imgs[0][0, 0]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        kern, "doc_id long, n_frames int, n_sampled int, frame_w int, "
+              "frame_h int, first_frame_luma int")
