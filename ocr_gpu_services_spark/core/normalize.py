@@ -26,8 +26,14 @@ _WS_RE = re.compile(r"\s+")
 
 
 def collapse_ws(s: str) -> str:
-    """Collapse all whitespace runs to a single space and strip."""
-    return _WS_RE.sub(" ", s).strip()
+    """Collapse all whitespace runs to a single space and strip.
+
+    Implemented as split/join, which is byte-identical to
+    ``re.sub(r"\\s+", " ", s).strip()`` (str.split and regex \\s use the
+    same Unicode whitespace set — verified by a full character sweep +
+    hypothesis parity test in tests/test_properties.py) and ~3x faster in
+    the extraction hot loop, where it runs once per DOM text node."""
+    return " ".join(s.split())
 
 
 def canonical_text(s: str) -> str:

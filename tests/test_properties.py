@@ -123,3 +123,12 @@ def test_components_match_bruteforce_property(seed, h, w, density):
                              "x1": max(xs), "area": len(px)})
     want.sort(key=lambda c: (c["y0"], c["x0"], c["y1"], c["x1"]))
     assert got == want
+
+
+@settings(max_examples=2000, deadline=None)
+@given(s=st.text(max_size=200))
+def test_collapse_ws_equals_regex_formulation(s):
+    """The split/join implementation must stay byte-identical to the
+    canonical regex formulation (the documented rule)."""
+    import re
+    assert collapse_ws(s) == re.sub(r"\s+", " ", s).strip()
