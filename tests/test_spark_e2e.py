@@ -331,3 +331,76 @@ def test_ivf_topk_matches_numpy_twin_and_is_deterministic(spark):
              ann.cosine_topk(e, [0, 1, 2, 3, 4], k=5).collect()}
     found = {(a, b) for (a, b, _r, _c) in got1}
     assert len(found & exact) / len(exact) >= 0.5
+
+
+def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
+    """The streaming decision record must equal the batch corpus_filter
+    plan over the same corpus, including duplicate survivorship (files
+    arrive in doc_id order, so first-arrival == min doc_id), and survive
+    a checkpointed restart without re-admitting duplicates."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from ocr_gpu_services_spark.operators import textstats
+    from ocr_gpu_services_spark.streaming.filter import stream_corpus_filter
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") < 120))
+    dup = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    batch_corpus = docs.unionByName(dup)
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # two arrival waves, doc_id-ordered file names
+    docs.orderBy("doc_id").coalesce(1).write.parquet(src + "/b=0")
+    import os
+    os.rename(
+        [f"{src}/b=0/{f}" for f in os.listdir(src + "/b=0")
+         if f.endswith(".parquet")][0], f"{src}/a0.parquet")
+
+    def run_stream():
+        schema = "doc_id long, text string"
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream_corpus_filter(stream).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_stream()
+    # second wave: the planted duplicates arrive AFTER a restart
+    dup.orderBy("doc_id").coalesce(1).write.parquet(src + "/b=1")
+    os.rename(
+        [f"{src}/b=1/{f}" for f in os.listdir(src + "/b=1")
+         if f.endswith(".parquet")][0], f"{src}/a1.parquet")
+    run_stream()
+
+    got = {r["doc_id"]: (r["lang"], r["reason"], r["keep"])
+           for r in spark.read.parquet(out).collect()}
+
+    q_ = textstats.quality_cols("text")
+    g = textstats.gopher_cols("text")
+    base = batch_corpus.select(
+        "doc_id",
+        textstats.fingerprint_col("text").alias("fp"),
+        textstats.langid_col("text").alias("lang"),
+        q_["quality_ok"].alias("qok"),
+        g["gopher_keep"].cast("int").alias("gok"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    m = base.withColumn("rn", F.row_number().over(w))
+    want = {}
+    for r in m.collect():
+        if r["rn"] > 1:
+            reason = "duplicate"
+        elif r["qok"] == 0:
+            reason = "low_quality"
+        elif r["gok"] == 0:
+            reason = "gopher_reject"
+        else:
+            reason = "kept"
+        keep = 1 if (r["rn"] == 1 and r["qok"] == 1 and r["gok"] == 1) else 0
+        want[r["doc_id"]] = (r["lang"], reason, keep)
+    assert got == want
+    assert any(v[1] == "duplicate" for v in got.values())
+    assert any(v[2] == 1 for v in got.values())
