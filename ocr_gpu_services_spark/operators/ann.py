@@ -334,10 +334,11 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
     batch is scored with a single BLAS matmul — a theta-join expressed as
     broadcast + vectorized kernel, never an interpreted per-pair loop
     (18M pairs through JVM higher-order functions measured 134 s; this
-    path is < 1 s).  At 10^12-vector scale the broadcast side no longer
-    fits and the same kernel runs INSIDE LSH buckets (``lsh_topk``'s
-    bucket equi-join) — identical threshold semantics, candidate buckets
-    instead of N^2."""
+    path is < 1 s).  The driver-side collect bounds this to corpora that
+    fit one machine — it exists as the ORACLE TWIN of the scale path:
+    ``embedding_dup_pairs_lsh`` runs the identical threshold semantics
+    with band-bucketed candidates and no collect, and is verified to
+    reproduce this operator's exact pair set on the test corpora."""
     import numpy as np
     import pandas as pd
 
