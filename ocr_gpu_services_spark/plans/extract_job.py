@@ -43,7 +43,7 @@ def extract_pipeline(pages: DataFrame, rebalance: bool = True) -> DataFrame:
 
 
 def run_job(spark: SparkSession, pages: DataFrame, out: str, run_id: str,
-            resume: bool = False) -> dict:
+            resume: bool = False, layout_templates: str | None = None) -> dict:
     table = IcebergLikeTable(out, partition_col="warc_day")
 
     # resume pruning happens on the SOURCE side, below the kernel.  If the
@@ -65,8 +65,18 @@ def run_job(spark: SparkSession, pages: DataFrame, out: str, run_id: str,
         shutil.rmtree(out)  # fresh run owns the whole table
 
     obs = Observation("extract_metrics")
-    extracted = (extract_pipeline(
-                     pages.select("url", "warc_ts", "html", "text"))
+    extracted = extract_pipeline(
+        pages.select("url", "warc_ts", "html", "text"))
+    if layout_templates:
+        # optional enrichment (the reference's classification route,
+        # SURVEY §3.2): match word spans against the template set and
+        # carry (layout_template, layout_cost) columns through the write
+        import pandas as pd
+
+        from ..operators.layout_match import classify_extracted
+        tpl = pd.read_parquet(layout_templates)
+        extracted = classify_extracted(extracted, tpl)
+    extracted = (extracted
                  .observe(
                      obs,
                      F.count(F.lit(1)).alias("rows_out"),
@@ -112,6 +122,9 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--layout-templates", default=None,
+                    help="template-words parquet (template_id, word, x, y, "
+                         "w, h); adds layout_template/layout_cost columns")
     args = ap.parse_args(argv)
     if not args.scale and not args.input:
         ap.error("one of --scale / --input required")
@@ -134,7 +147,8 @@ def main(argv=None):
             pages = read_pages(spark, args.input)
     else:
         pages = synthetic_pages(spark, args.scale)
-    metrics = run_job(spark, pages, args.out, args.run_id, args.resume)
+    metrics = run_job(spark, pages, args.out, args.run_id, args.resume,
+                      layout_templates=args.layout_templates)
     print(json.dumps(metrics))
     return 0
 

@@ -404,3 +404,38 @@ def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
     assert got == want
     assert any(v[1] == "duplicate" for v in got.values())
     assert any(v[2] == 1 for v in got.values())
+
+
+def test_job_layout_templates_flag(spark, tmp_path, extracted_rows):
+    """--layout-templates wires the U7 enrichment through the job: the
+    output table carries layout_template/layout_cost, the matching page
+    classifies at cost 0, span-less docs stay NULL, and goldens still
+    hold for the base columns."""
+    import pandas as pd
+    from ocr_gpu_services_spark.plans.extract_job import run_job
+    from ocr_gpu_services_spark.sources.pages import synthetic_pages
+
+    target_url, tpl_rows = None, []
+    for url in sorted(extracted_rows):
+        row = extracted_rows[url]
+        words = [s for s in row["spans"] if s["kind"] == "word"]
+        if row["content_type"] == "image" and len(words) >= 6:
+            target_url = url
+            tpl_rows = [(0, w["text"].lower(), w["x0"], w["y0"],
+                         w["x1"] - w["x0"], w["y1"] - w["y0"])
+                        for w in words]
+            break
+    tpl_path = str(tmp_path / "templates.parquet")
+    pd.DataFrame(tpl_rows, columns=["template_id", "word", "x", "y",
+                                    "w", "h"]).to_parquet(tpl_path)
+    out = str(tmp_path / "extracted")
+    metrics = run_job(spark, synthetic_pages(spark, "tiny"), out, "r1",
+                      layout_templates=tpl_path)
+    assert metrics["rows_written"] == 200
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert got[target_url]["layout_template"] == 0
+    assert got[target_url]["layout_cost"] == 0.0
+    assert any(r["layout_template"] is None for r in got.values())
+    index, texts = _load_goldens()
+    for url, meta in index.items():
+        assert got[url]["extracted_text"].encode("utf-8") == texts[url]
