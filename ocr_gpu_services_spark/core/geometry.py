@@ -110,6 +110,26 @@ def derotate_canvas(img: np.ndarray, deg: float) -> np.ndarray:
     return _shear_x(_shear_y(_shear_x(img, -a3), -b2), -a1)
 
 
+def derotate_ink(img: np.ndarray, deg: float) -> np.ndarray:
+    """Binary fast path of ``derotate_canvas``: apply the inverse shear
+    offsets to the INK COORDINATES and scatter onto a clean page, instead
+    of gathering the whole (mostly-paper) canvas three times.  Produces a
+    canvas whose ink mask (<128) is pixel-identical to derotate_canvas's —
+    every downstream consumer (components, OCR, QR decode, signature
+    density) thresholds at 128, so the two are interchangeable there; use
+    derotate_canvas when gray values must survive."""
+    if deg == 0.0:
+        return img
+    ys, xs = np.nonzero(img < 128)
+    a1, b2, a3 = _shear_offsets(img.shape, deg)
+    x = xs - a3[ys]          # undo third shear (x)
+    y = ys - b2[x]           # undo second shear (y), post-third x
+    x = x - a1[y]            # undo first shear (x), post-second y
+    out = np.full(img.shape, PAPER, dtype=img.dtype)
+    out[y, x] = 0
+    return out
+
+
 def _profile_scores(ys, xs, shape, degs: list[float]) -> list[float]:
     """Profile sharpness score for every candidate at once: the shear
     offset tables for all candidates are built as one (C, h)/(C, w) batch
@@ -169,6 +189,8 @@ def estimate_skew(img: np.ndarray, grid=SKEW_GRID) -> float:
 
 
 def deskew(img: np.ndarray) -> tuple[np.ndarray, float]:
-    """Estimate the skew angle and return (upright canvas, angle)."""
+    """Estimate the skew angle and return (upright canvas, angle).  Uses
+    the binary ink-scatter derotation — the extraction pipeline consumes
+    only the thresholded mask downstream."""
     deg = estimate_skew(img)
-    return derotate_canvas(img, deg), deg
+    return derotate_ink(img, deg), deg
