@@ -195,6 +195,9 @@ def train_ivf_centroids(embeddings: DataFrame, dim: int, nlist: int = 16,
     cents = _hyperplanes(dim, nlist, seed="ivf-init")
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     spark = embeddings.sparkSession
+    # iterative working set: cache the scan once, read it every iteration
+    # (the canonical Spark iterative-algorithm pattern; unpersisted below)
+    work = embeddings.select(emb_col).persist()
     for _ in range(iters):
         b_c = spark.sparkContext.broadcast(cents)
 
@@ -217,7 +220,7 @@ def train_ivf_centroids(embeddings: DataFrame, dim: int, nlist: int = 16,
         schema = ("cid int, "
                   + ", ".join(f"d{j} double" for j in range(dim))
                   + ", cnt long")
-        rows = (embeddings.select(emb_col).mapInPandas(partial, schema)
+        rows = (work.mapInPandas(partial, schema)
                 .groupBy("cid").sum().orderBy("cid").collect())
         new = cents.copy()
         for r in rows:
@@ -229,6 +232,7 @@ def train_ivf_centroids(embeddings: DataFrame, dim: int, nlist: int = 16,
                     new[cid] = v / n
         cents = new
         b_c.destroy()
+    work.unpersist()
     return cents
 
 
