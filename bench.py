@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "dedup_embedding", "dedup_embedding_lsh", "winnow_fingerprint",
     "cms_sketch", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "signature_filter_p7", "detect_threshold", "iou_pairs", "nms_greedy",
-    "multimodal_meta", "multimodal_resize", "video_frame_sample",
+    "multimodal_meta", "multimodal_resize", "video_frame_sample", "audio_window_rms",
     "url_canonicalize", "para_dedup", "json_props", "corpus_filter",
     "pricing_summary", "top_orders", "join_5way_volume",
     "window_topk", "events_sessionize", "range_join_binned", "asof_join", "hypertable_rollup",

@@ -1566,3 +1566,44 @@ def video_frame_sample(spark, sf_dir):
     return d.mapInPandas(
         kern, "doc_id long, n_frames int, n_sampled int, frame_w int, "
               "frame_h int, first_frame_luma int")
+
+
+@q("audio_window_rms", """
+    WITH a AS (SELECT doc_id, doc_id % 3 + 2 AS n_win
+               FROM documents WHERE doc_id < 80)
+    SELECT doc_id, CAST(w AS INTEGER) AS window_id,
+           CAST(abs((doc_id * 31 + w * 7) % 1000 - 500) AS DOUBLE) AS rms
+    FROM a, LATERAL unnest(generate_series(0, n_win - 1)) AS u(w)""")
+def audio_window_rms(spark, sf_dir):
+    """Audio as an opaque BINARY column (driver's multimodal mandate):
+    deterministic s16le PCM is BUILT per doc from shared formulas, then
+    the operator PARSES the bytes back — frombuffer, fixed-size windowing,
+    per-window RMS — inside one mapInPandas.  Constant-amplitude windows
+    make the expected RMS exactly |amplitude|, so the oracle is pure
+    arithmetic and any byte-layout mistake fails the gate."""
+    import numpy as np
+    import pandas as pd
+
+    WIN = 400
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80) \
+        .select("doc_id")
+
+    def kern(it):
+        for pdf in it:
+            out = {"doc_id": [], "window_id": [], "rms": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_win = did % 3 + 2
+                amps = [(did * 31 + w * 7) % 1000 - 500
+                        for w in range(n_win)]
+                pcm = np.repeat(np.array(amps, dtype=np.int16), WIN)
+                blob = pcm.tobytes()             # ...and parse it back:
+                x = np.frombuffer(blob, dtype=np.int16).astype(np.float64)
+                wins = x.reshape(-1, WIN)
+                rms = np.round(np.sqrt((wins * wins).mean(axis=1)), 4)
+                out["doc_id"].extend([did] * n_win)
+                out["window_id"].extend(range(n_win))
+                out["rms"].extend(rms.tolist())
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(kern, "doc_id long, window_id int, rms double")
