@@ -60,10 +60,20 @@ def q(name: str, sql=None):
 
 
 def resolve_oracles() -> dict[str, str]:
-    """ORACLE with lazy entries materialized (and cached)."""
+    """ORACLE with lazy entries materialized (and cached).  A lazy builder
+    that fails (e.g. the gate parquet isn't where this environment keeps
+    it) demotes ITS query to the rows-only check instead of poisoning the
+    whole oracle dict."""
+    import sys
+
     for k, v in list(ORACLE.items()):
         if callable(v):
-            ORACLE[k] = v()
+            try:
+                ORACLE[k] = v()
+            except Exception as exc:
+                print(f"oracle builder for {k!r} failed ({exc}); "
+                      f"falling back to rows-only", file=sys.stderr)
+                del ORACLE[k]
     return dict(ORACLE)
 
 
