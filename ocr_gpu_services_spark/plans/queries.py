@@ -60,10 +60,15 @@ def q(name: str, sql=None):
 
 
 def resolve_oracles() -> dict[str, str]:
-    """ORACLE with lazy entries materialized (and cached).  A lazy builder
-    that fails (e.g. the gate parquet isn't where this environment keeps
-    it) demotes ITS query to the rows-only check instead of poisoning the
-    whole oracle dict."""
+    """ORACLE with lazy entries materialized (and cached).
+
+    Failure policy: a hard gate must not silently soften.  Only builders
+    explicitly marked ``path_dependent`` (they read the gate parquet from
+    a fixed path that other environments may not have) are allowed to
+    demote their query to rows-only — loudly, on stderr.  Any OTHER
+    builder failure substitutes a sentinel oracle that cannot match the
+    Spark result, so the driver records a RED row instead of a quiet
+    rows-only pass."""
     import sys
 
     for k, v in list(ORACLE.items()):
@@ -71,9 +76,18 @@ def resolve_oracles() -> dict[str, str]:
             try:
                 ORACLE[k] = v()
             except Exception as exc:
-                print(f"oracle builder for {k!r} failed ({exc}); "
-                      f"falling back to rows-only", file=sys.stderr)
-                del ORACLE[k]
+                if getattr(v, "path_dependent", False):
+                    print(f"oracle builder for {k!r} failed ({exc}); "
+                          f"path-dependent builder -> rows-only",
+                          file=sys.stderr)
+                    del ORACLE[k]
+                else:
+                    print(f"oracle builder for {k!r} failed ({exc}); "
+                          f"substituting FAILING sentinel oracle",
+                          file=sys.stderr)
+                    msg = f"ORACLE_BUILDER_FAILED:{k}:{exc}"
+                    ORACLE[k] = ("SELECT '%s' AS oracle_builder_error"
+                                 % msg.replace("'", "''")[:500])
     return dict(ORACLE)
 
 
@@ -231,6 +245,9 @@ def _ivf_truth_values() -> str:
     return ("SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS "
             "n_id, CAST(rank AS INTEGER) AS rank, CAST(cosine AS DOUBLE) AS "
             "cosine FROM (VALUES %s) AS t(q_id, n_id, rank, cosine)" % vals)
+
+
+_ivf_truth_values.path_dependent = True  # reads /root/testdata directly
 
 
 @q("ann_ivf_topk", _ivf_truth_values)
@@ -1337,7 +1354,7 @@ _PARA_TOKS = 10
                                 ORDER BY doc_id, p) AS rn
       FROM paras)
     SELECT doc_id, count(*) AS n_paras,
-           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            coalesce(array_to_string(list(CASE WHEN rn = 1 THEN para END
                                          ORDER BY p) FILTER (rn = 1), ' | '),
                     '') AS text_kept
@@ -1382,8 +1399,9 @@ def para_dedup(spark, sf_dir):
            count(*) AS n,
            round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
              AS avg_k,
-           sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER)
-                         >= 50 THEN 1 ELSE 0 END) AS n_high
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                   AS INTEGER) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM events GROUP BY event_type""")
 def json_props(spark, sf_dir):
     """JSON property extraction (scalar-function family): parse the

@@ -25,6 +25,40 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Value-representation CLASS of a column type.  The driver's typed value
+# hash tolerates width/flavor differences inside a class (int vs bigint,
+# timestamp_ntz vs timestamp, double vs decimal — all were green in r2) but
+# breaks when the pandas-side value representation changes class: DuckDB
+# HUGEINT (an uncast integer sum()) converts to float64 (3 -> 3.0) while
+# Spark emits BIGINT — the exact round-2 para_dedup red row, which this
+# replica's stringify compare was blind to.  HUGEINT gets its own class so
+# it mismatches EVERYTHING: an oracle should never emit it.
+_INT = {"tinyint", "smallint", "int", "integer", "bigint", "ubigint",
+        "utinyint", "usmallint", "uinteger"}
+_FLOAT = {"float", "double", "real"}
+_TS = {"timestamp", "timestamp_ntz", "timestamp_ltz",
+       "timestamp with time zone"}
+
+
+def type_class(t) -> str:
+    s = str(t).lower().replace(" ", "")
+    if s.endswith("[]"):
+        return f"array<{type_class(s[:-2])}>"
+    if s.startswith("array<") and s.endswith(">"):
+        return f"array<{type_class(s[6:-1])}>"
+    if s in _INT:
+        return "int"
+    if s in _FLOAT or s.startswith("decimal"):
+        return "float"
+    if s in _TS:
+        return "timestamp"
+    if s == "varchar":
+        return "string"
+    if s == "blob":
+        return "binary"
+    return s  # hugeint, string, boolean, date, binary, structs, ...
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -54,6 +88,7 @@ def main(names):
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -67,6 +102,7 @@ def main(names):
         try:
             rel = con.sql(ORACLE[name])
             dcols = [c for c in rel.columns]
+            dtypes = dict(zip(dcols, rel.types))
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:160]}")
@@ -74,8 +110,18 @@ def main(names):
             continue
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
+        type_mism = [
+            (c, stypes[c], str(dtypes[c]))
+            for c in scols if c in dtypes
+            and type_class(stypes[c]) != type_class(dtypes[c])]
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}")
+            failed.append(name)
+        elif type_mism:
+            print(f"FAIL {name}: column TYPE mismatch (driver's typed hash "
+                  f"would differ): "
+                  + ", ".join(f"{c}: spark={s} duck={d}"
+                              for c, s, d in type_mism))
             failed.append(name)
         elif len(sr) != len(dr):
             print(f"FAIL {name}: rows {len(sr)} vs {len(dr)}")
