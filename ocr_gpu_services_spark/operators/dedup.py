@@ -182,15 +182,27 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # corpus scale pairwise work touches candidate buckets, never N^2)
     d = (docs.withColumn("_toks", tokens_col(F.col(text_col)))
          .withColumn("_sh", shingles_from_tokens(F.col("_toks"))))
-    def salted_min(k: int):
-        # NB: must be a 1-arg lambda — F.transform treats a 2-arg lambda
-        # (e.g. `lambda s, k=k`) as the (element, index) form
-        return F.array_min(F.transform(
-            F.col("_sh"),
-            lambda s: _h32_spark(F.concat(F.lit(f"{k}:"), s))))
+    # k independent 32-bit hashes from TWO md5 digests (4 disjoint 8-hex
+    # windows each) instead of k salted md5 calls: md5 bits are uniformly
+    # mixed, so disjoint windows are independent hash functions for
+    # minwise purposes, and the md5 count per shingle drops from
+    # N_MINHASH to 2 — the signature stage is the operator's dominant
+    # map cost and this is a ~4x cut.  Bound to a real column (`_hv`) so
+    # CollapseProject doesn't inline the struct into all N array_mins.
+    # NB: 1-arg lambdas only — F.transform treats a 2-arg lambda (e.g.
+    # `lambda s, k=k`) as the (element, index) form.
+    def windows(s):
+        d0, d1 = F.md5(s), F.md5(F.concat(F.lit("1:"), s))
+        return F.struct(*[
+            F.conv(F.substring(dg, 1 + 8 * i, 8), 16, 10).cast("bigint")
+             .alias(f"h{j * 4 + i}")
+            for j, dg in enumerate((d0, d1)) for i in range(4)])
 
-    mins = d.select("doc_id", *[
-        salted_min(k).alias(f"m{k}") for k in range(N_MINHASH)])
+    assert N_MINHASH <= 8
+    hv = d.withColumn("_hv", F.transform(F.col("_sh"), windows))
+    mins = hv.select("doc_id", *[
+        F.array_min(F.transform(F.col("_hv"), lambda x: x[f"h{k}"]))
+         .alias(f"m{k}") for k in range(N_MINHASH)])
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = []
     for b in range(N_BANDS):
@@ -206,12 +218,32 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     if max_bucket is not None:
         # degenerate-bucket guard: a bucket of c docs fans out c*(c-1)/2
         # candidate pairs; buckets above the cap are boilerplate/empty-doc
-        # collisions, not near-dup signal.  The window shuffles on the same
-        # (band, bh) key the self-join uses, so the exchange is reused.
-        from pyspark.sql import Window
-        bsz = F.count("*").over(Window.partitionBy("band", "bh"))
-        bands = bands.withColumn("_bsz", bsz) \
-                     .filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+        # collisions, not near-dup signal.  Plan shape matters here: the
+        # over-cap key set is TINY by construction (only boilerplate
+        # collisions exceed the cap), so count it with a map-side partial
+        # agg (groupBy shuffles distinct keys only, never full rows) and
+        # remove it with a broadcast ANTI-join — zero added shuffle on the
+        # main path and no sort, vs. the count-over-window formulation
+        # that sorted the full exploded band rows (round-2 bench: +196%).
+        # One explicit repartition on the join key makes the bucket-count
+        # subtree and the self-join sides share a single ReusedExchange:
+        # the expensive signature stage runs ONCE and the guard adds no
+        # full-row shuffle.  Two plan-shape subtleties, both verified in
+        # the executed (post-AQE) plan:
+        # * count("doc_id") not count("*"): counting a literal lets column
+        #   pruning drop doc_id BELOW the exchange in the count subtree,
+        #   which breaks canonical equality with the join-side exchange
+        #   and silently doubles the signature computation (doc_id is
+        #   never null here, so the value is identical);
+        # * the anti-join itself is erased by AQE's empty-relation
+        #   propagation whenever no bucket exceeds the cap, so the guard's
+        #   steady-state cost is just the per-bucket count.
+        bands = bands.repartition(F.col("band"), F.col("bh"))
+        over = (bands.groupBy("band", "bh")
+                .agg(F.count("doc_id").alias("_c"))
+                .filter(F.col("_c") > max_bucket)
+                .select("band", "bh"))
+        bands = bands.join(F.broadcast(over), ["band", "bh"], "left_anti")
     a, b_ = bands.alias("a"), bands.alias("b")
     return (a.join(b_, ["band", "bh"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -223,8 +255,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs_sql(table: str = "documents",
                           where: str = "TRUE",
                           max_bucket: int | None = MAX_BAND_BUCKET) -> str:
+    def win(k: int) -> str:
+        dg = "md5(sh)" if k < 4 else "md5('1:' || sh)"
+        return f"substr({dg}, {1 + 8 * (k % 4)}, 8)"
     mins = ", ".join(
-        f"min(CAST(('0x' || substr(md5('{k}:' || sh), 1, 8)) AS BIGINT)) AS m{k}"
+        f"min(CAST(('0x' || {win(k)}) AS BIGINT)) AS m{k}"
         for k in range(N_MINHASH))
     rows_per_band = N_MINHASH // N_BANDS
     band_rows = []
@@ -263,13 +298,22 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         # boilerplate guard: a shingle present in df docs fans the
         # self-join out df^2 rows; shingles above the cap (universal
         # boilerplate) carry no near-dup signal and are excluded from the
-        # INTERSECTION only — |A| and |B| stay the true sizes, so jaccard
-        # for pairs below the cap is exact.  The df window shuffles on the
-        # same `sh` key the join uses (exchange reuse).
-        from pyspark.sql import Window
-        dfreq = F.count("*").over(Window.partitionBy("sh"))
-        joinable = sh.withColumn("_df", dfreq) \
-                     .filter(F.col("_df") <= max_df).drop("_df")
+        # INTERSECTION only — |A| and |B| stay the true sizes.  Jaccard is
+        # exact for pairs sharing no capped shingle and a LOWER BOUND for
+        # pairs that do (their intersection is undercounted while |A|,|B|
+        # keep the capped shingle; a pair whose only overlap is capped
+        # vanishes) — engine and oracle apply the identical rule.  Guard
+        # plan: map-side partial-agg count of distinct shingle keys +
+        # broadcast anti-join of the tiny over-cap set — no full-row sort
+        # (the count-over-window formulation cost +125% in round 2).
+        # Same one-exchange shape as the minhash guard (see there for the
+        # count("doc_id") and AQE empty-relation notes): repartition on
+        # the join key so the df-count subtree and both self-join sides
+        # reuse a single exchange — the shingle explode runs once.
+        sh_p = sh.repartition(F.col("sh"))
+        over = (sh_p.groupBy("sh").agg(F.count("doc_id").alias("_c"))
+                .filter(F.col("_c") > max_df).select("sh"))
+        joinable = sh_p.join(F.broadcast(over), "sh", "left_anti")
     a, b = joinable.alias("a"), joinable.alias("b")
     inter = (a.join(b, "sh")
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
