@@ -56,11 +56,21 @@ def connected_components_arrays(ink: np.ndarray):
     """Array form of ``connected_components``: five parallel int64 arrays
     (y0, x0, y1, x1, area), lexicographically sorted by (y0, x0, y1, x1) —
     the hot-kernel interface (no per-component Python objects)."""
+    return connected_components_with_runs(ink)[0]
+
+
+def connected_components_with_runs(ink: np.ndarray):
+    """``connected_components_arrays`` plus the underlying run table:
+    returns ((y0, x0, y1, x1, area), (ry, rs, re, run_comp)) where run
+    (ry[i], rs[i]:re[i]) belongs to component run_comp[i] (an index into
+    the sorted component arrays).  The run table lets callers touch
+    exactly one component's pixels (e.g. blanking a non-text region
+    without erasing ink from an overlapping component's bbox)."""
     ry, rs, re = _runs(ink)
     n = ry.size
     z = np.zeros(0, dtype=np.int64)
     if n == 0:
-        return z, z, z, z, z
+        return (z, z, z, z, z), (z, z, z, z)
     w = ink.shape[1]
 
     # Adjacency pairs (i in row y, j in row y-1), fully vectorized: embed
@@ -113,4 +123,7 @@ def connected_components_arrays(ink: np.ndarray):
     np.maximum.at(x1, inv, re - 1)
     np.add.at(area, inv, re - rs)
     order = np.lexsort((x1, y1, x0, y0))
-    return y0[order], x0[order], y1[order], x1[order], area[order]
+    rank = np.empty(k, dtype=np.int64)      # uniq index -> sorted position
+    rank[order] = np.arange(k, dtype=np.int64)
+    return (y0[order], x0[order], y1[order], x1[order], area[order]), \
+        (ry, rs, re, rank[inv])

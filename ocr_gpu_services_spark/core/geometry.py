@@ -117,14 +117,28 @@ def derotate_ink(img: np.ndarray, deg: float) -> np.ndarray:
     canvas whose ink mask (<128) is pixel-identical to derotate_canvas's —
     every downstream consumer (components, OCR, QR decode, signature
     density) thresholds at 128, so the two are interchangeable there; use
-    derotate_canvas when gray values must survive."""
+    derotate_canvas when gray values must survive.
+
+    Points whose inverse-sheared coordinates leave the canvas are DROPPED
+    after each pass — exactly derotate_canvas's paper-fill semantics for
+    out-of-bounds gathers.  Without the masks, edge ink on a page whose
+    estimated angle does not exactly invert a padded rotation (any
+    real-world skewed input) raised IndexError past the canvas and
+    silently wrapped at negative coordinates."""
     if deg == 0.0:
         return img
+    h, w = img.shape
     ys, xs = np.nonzero(img < 128)
     a1, b2, a3 = _shear_offsets(img.shape, deg)
-    x = xs - a3[ys]          # undo third shear (x)
-    y = ys - b2[x]           # undo second shear (y), post-third x
-    x = x - a1[y]            # undo first shear (x), post-second y
+    x = xs - a3[ys]                      # undo third shear (x)
+    keep = (x >= 0) & (x < w)
+    y, x = ys[keep], x[keep]
+    y = y - b2[x]                        # undo second shear (y)
+    keep = (y >= 0) & (y < h)
+    x, y = x[keep], y[keep]
+    x = x - a1[y]                        # undo first shear (x)
+    keep = (x >= 0) & (x < w)
+    x, y = x[keep], y[keep]
     out = np.full(img.shape, PAPER, dtype=img.dtype)
     out[y, x] = 0
     return out

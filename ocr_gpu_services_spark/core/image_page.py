@@ -54,7 +54,7 @@ def _max_band_height(ink: np.ndarray) -> int:
 def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
                        ) -> tuple[str, list[Span]]:
     """Full image route; returns (extracted_text, spans)."""
-    from .components import connected_components_arrays
+    from .components import connected_components_with_runs
 
     # U5 page extraction (reference aligner/utils/evaluation/
     # page_extractor.py:17-95: find the document region, extract it,
@@ -95,7 +95,8 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
                            s.x1 - ox, s.y1 - oy, s.kind)
                       for s in word_spans]
 
-    cy0, cx0, cy1, cx1, carea = connected_components_arrays(ink)
+    (cy0, cx0, cy1, cx1, carea), (r_y, r_s, r_e, r_comp) = \
+        connected_components_with_runs(ink)
     h = cy1 - cy0 + 1
     text_mask = h <= CELL                # glyph rows are exactly CELL tall
     big_idx = np.nonzero(~text_mask)[0]  # few: signature / marker / stray
@@ -129,19 +130,23 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
 
     text, word_spans = "", []
     if text_mask.any():
-        # crop to the glyph region and blank the FEW non-text rects inside
-        # it, so stray / signature / marker ink can't perturb the grid
-        # locator (regions never overlap, so rect blanking is exact)
+        # crop to the glyph region and blank the FEW non-text components
+        # inside it, so stray / signature / marker ink can't perturb the
+        # grid locator.  Blanking uses each component's OWN ink runs, not
+        # its bounding rectangle — a signature/QR/stray bbox overlapping a
+        # text line must not erase glyph ink inside the rectangle.
         ty0 = int(cy0[text_mask].min())
         tx0 = int(cx0[text_mask].min())
         ty1 = int(cy1[text_mask].max())
         tx1 = int(cx1[text_mask].max())
         text_img = upright[ty0:ty1 + 1, tx0:tx1 + 1].copy()
-        for i in np.nonzero(~text_mask)[0]:
-            y0 = max(int(cy0[i]) - ty0, 0)
-            x0 = max(int(cx0[i]) - tx0, 0)
-            text_img[y0:int(cy1[i]) + 1 - ty0,
-                     x0:int(cx1[i]) + 1 - tx0] = 255
+        th, tw = text_img.shape
+        blank = ~text_mask[r_comp]           # runs of non-text components
+        for y, s, e in zip(r_y[blank], r_s[blank], r_e[blank]):
+            if ty0 <= y <= ty1:
+                text_img[y - ty0,
+                         max(int(s) - tx0, 0):
+                         min(int(e) - tx0, tw)] = 255
         text, word_spans = ocr_page(text_img, atlas, charset)
         word_spans = [Span(s.text, s.conf,
                            s.x0 + tx0 - ox, s.y0 + ty0 - oy,

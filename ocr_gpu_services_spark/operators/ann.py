@@ -25,6 +25,12 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# fixed quantization grid for the k-means partial sums: normalized vector
+# components become integers on the 2^-30 grid, so the per-cluster sums
+# are exact (order-insensitive) in both the distributed engine and the
+# numpy oracle twin
+QUANT = float(1 << 30)
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -186,9 +192,17 @@ def train_ivf_centroids(embeddings: DataFrame, dim: int, nlist: int = 16,
     nlist sum-vectors + counts) reduced on the driver.  Nothing about the
     corpus is ever collected.
 
-    Determinism: centroids init from md5 bits (no data-dependent RNG),
-    float64 math, fixed iteration count, argmax ties break to the lowest
-    cluster id; empty clusters keep their previous centroid.
+    Determinism is STRUCTURAL, not margin-dependent: centroids init from
+    md5 bits (no data-dependent RNG); each row's normalized vector is
+    quantized to the fixed 2^-30 grid and the per-cluster sums are exact
+    integer arithmetic end to end (int64 within a partition, DECIMAL(38,0)
+    across partitions) — integer addition is associative, so the result
+    is independent of Spark's shuffle-fetch merge order, and the numpy
+    oracle twin (ivf_topk_numpy) applies the identical quantization so
+    engine and oracle produce bit-identical centroids by construction
+    rather than because argmax margins dwarf ulp noise.  Fixed iteration
+    count; argmax ties break to the lowest cluster id; empty clusters
+    keep their previous centroid.
     """
     import pandas as pd
 
@@ -203,13 +217,16 @@ def train_ivf_centroids(embeddings: DataFrame, dim: int, nlist: int = 16,
 
         def partial(it):
             C = b_c.value
-            sums = np.zeros((C.shape[0], C.shape[1]), dtype=np.float64)
+            sums = np.zeros((C.shape[0], C.shape[1]), dtype=np.int64)
             counts = np.zeros(C.shape[0], dtype=np.int64)
             for pdf in it:
                 A = np.array(list(pdf[emb_col]), dtype=np.float64)
                 A = A / np.linalg.norm(A, axis=1, keepdims=True)
                 assign = (A @ C.T).argmax(axis=1)
-                np.add.at(sums, assign, A)
+                # exact integer partials on the 2^-30 grid (|q| <= 2^30
+                # per row: int64 holds ~2^33 rows per partition-cluster)
+                np.add.at(sums, assign,
+                          np.rint(A * QUANT).astype(np.int64))
                 np.add.at(counts, assign, 1)
             out = pd.DataFrame(sums)
             out.columns = [f"d{j}" for j in range(C.shape[1])]
@@ -218,15 +235,23 @@ def train_ivf_centroids(embeddings: DataFrame, dim: int, nlist: int = 16,
             yield out
 
         schema = ("cid int, "
-                  + ", ".join(f"d{j} double" for j in range(dim))
+                  + ", ".join(f"d{j} long" for j in range(dim))
                   + ", cnt long")
-        rows = (work.mapInPandas(partial, schema)
-                .groupBy("cid").sum().orderBy("cid").collect())
+        # decimal(38,0) cross-partition sums: exact at any corpus size
+        # (10^12 rows x 2^30 ~ 10^21 << 10^38), order-insensitive
+        part = work.mapInPandas(partial, schema)
+        rows = (part.groupBy("cid")
+                .agg(*[F.sum(F.col(f"d{j}").cast("decimal(38,0)"))
+                       .alias(f"d{j}") for j in range(dim)],
+                     F.sum("cnt").alias("cnt"))
+                .collect())
         new = cents.copy()
         for r in rows:
-            cid, cnt = r["cid"], r[f"sum(cnt)"]
+            cid, cnt = r["cid"], r["cnt"]
             if cnt > 0:
-                v = np.array([r[f"sum(d{j})"] for j in range(dim)])
+                # float(exact integer) rounds to nearest double — the
+                # same conversion the twin applies to the same integer
+                v = np.array([float(r[f"d{j}"]) for j in range(dim)])
                 n = np.linalg.norm(v)
                 if n > 0:
                     new[cid] = v / n
@@ -246,15 +271,16 @@ def ivf_topk_numpy(ids: np.ndarray, mat: np.ndarray, query_ids: list[int],
     (q_id, n_id, rank, cosine) tuples."""
     M = mat.astype(np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Q = np.rint(Mn * QUANT).astype(np.int64)   # same 2^-30 grid as engine
     C = _hyperplanes(M.shape[1], nlist, seed="ivf-init")
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
     for _ in range(iters):
         assign = (Mn @ C.T).argmax(axis=1)
         new = C.copy()
         for c in range(nlist):
-            sel = Mn[assign == c]
+            sel = Q[assign == c]
             if len(sel):
-                v = sel.sum(axis=0)
+                v = sel.sum(axis=0).astype(np.float64)  # exact int sum
                 n = np.linalg.norm(v)
                 if n > 0:
                     new[c] = v / n
@@ -327,6 +353,9 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
 # embedding-cosine near-duplicate pairs (dedup family, driver mandate)
 # ---------------------------------------------------------------------------
 
+MAX_ORACLE_TWIN_ROWS = 1_000_000  # driver-collect cap for the oracle twin
+
+
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
                         id_col: str = "vec_id",
                         emb_col: str = "embedding") -> DataFrame:
@@ -346,6 +375,13 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
     import numpy as np
     import pandas as pd
 
+    n = embeddings.count()
+    if n > MAX_ORACLE_TWIN_ROWS:
+        raise ValueError(
+            f"embedding_dup_pairs is the small-scale ORACLE TWIN and "
+            f"collects the corpus to the driver; {n} rows exceeds its "
+            f"{MAX_ORACLE_TWIN_ROWS}-row cap — use "
+            f"embedding_dup_pairs_lsh (no collect) at this scale")
     rows = embeddings.select(id_col, emb_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

@@ -1294,7 +1294,7 @@ _URL_SQL = ("'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || "
                   THEN substr(path, 1, length(path) - 1) ELSE path END AS cpath,
              array_to_string(list_sort(list_filter(
                  string_split(query, '&'),
-                 p -> p NOT LIKE 'utm_%')), '&') AS cquery
+                 p -> NOT starts_with(p, 'utm_'))), '&') AS cquery
       FROM parts)
     SELECT scheme || '://' || host || cpath
            || CASE WHEN cquery <> '' THEN '?' || cquery ELSE '' END

@@ -47,9 +47,13 @@ def test_minhash_guard_reuses_the_band_exchange(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text").filter(F.col("doc_id") < 60)
     plan = _plan(dedup.minhash_lsh_pairs(docs))
-    # the bucket-size window partitions on the SAME (band, bh) key the
-    # self-join hashes on, so its exchange is the join's exchange
-    assert "Window" in plan
+    # round-3 guard shape: NO full-row window sort — the over-cap bucket
+    # set is counted with a partial aggregate and removed by a broadcast
+    # anti-join; one explicit repartition on (band, bh) is the single
+    # full-row exchange every consumer reuses
+    assert "Window" not in plan
+    assert "LeftAnti" in plan
+    assert "REPARTITION_BY_COL" in plan
     assert "hashpartitioning(band" in plan
 
 

@@ -132,3 +132,31 @@ def test_collapse_ws_equals_regex_formulation(s):
     canonical regex formulation (the documented rule)."""
     import re
     assert collapse_ws(s) == re.sub(r"\s+", " ", s).strip()
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2 ** 20), deg_halves=st.integers(-16, 16),
+       h=st.integers(12, 80), w=st.integers(12, 200))
+def test_derotate_ink_matches_canvas_on_unpadded_pages(seed, deg_halves, h, w):
+    """derotate_ink's coordinate scatter must reproduce derotate_canvas's
+    ink mask on UNPADDED pages too — edge ink whose inverse-sheared
+    coordinates leave the canvas is dropped (paper), never an IndexError
+    or a silent wrap to the opposite edge (ADVICE r2, medium)."""
+    import random as _r
+
+    import numpy as np
+
+    from ocr_gpu_services_spark.core.geometry import (derotate_canvas,
+                                                      derotate_ink)
+    deg = deg_halves * 0.5
+    if 0 < abs(deg) < 1.0:
+        deg = float(np.sign(deg))
+    rng = _r.Random(seed)
+    img = np.full((h, w), 255, np.uint8)
+    # always include the worst case: ink on every border pixel
+    img[0, :] = 0; img[-1, :] = 0; img[:, 0] = 0; img[:, -1] = 0
+    for _ in range(max(3, h * w // 20)):
+        img[rng.randrange(h), rng.randrange(w)] = 0
+    a = derotate_ink(img, deg)
+    b = derotate_canvas(img, deg)
+    assert ((a < 128) == (b < 128)).all()
