@@ -1553,45 +1553,40 @@ _VFS_EVERY = 2
            CAST((doc_id * 13) % 256 AS INTEGER) AS first_frame_luma
     FROM v""")
 def video_frame_sample(spark, sf_dir):
-    """Frame sampling over an opaque video BINARY column: a deterministic
-    VFRM container (length-prefixed PNG frames) is BUILT from per-doc
-    formulas, then the operator PARSES the bytes back — container walk,
-    every-k-th-frame sample, per-frame decode — all inside one
-    mapInPandas.  The oracle computes the same metadata arithmetically
-    from the construction formulas, so any byte-level mistake in the
-    container/PNG round trip fails the gate."""
-    import numpy as np
+    """Frame sampling over an opaque video BINARY column SCANNED from the
+    media table (sources/media.py): the operator sees only bytes —
+    container header walk, every-k-th-frame sample, per-frame PNG decode,
+    all inside one mapInPandas.  The payload construction formulas live
+    in the fixture generator; the oracle computes the expected metadata
+    arithmetically from them, so any byte-level mistake in the container
+    or PNG round trip fails the gate (the qr_extract ingest standard —
+    the operator CAN fail on malformed bytes, tests/test_multimodal.py)."""
     import pandas as pd
 
-    from ..core.png import png_decode, png_encode
-    from ..operators.multimodal import build_container, sample_frames
+    from ..core.png import png_decode
+    from ..operators.multimodal import iter_frames
+    from ..sources.media import synthetic_media
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60) \
-        .select("doc_id")
+    v = synthetic_media(spark).filter(F.col("kind") == "video") \
+        .select("doc_id", "payload")
 
     def kern(it):
         for pdf in it:
             out = {"doc_id": [], "n_frames": [], "n_sampled": [],
                    "frame_w": [], "frame_h": [], "first_frame_luma": []}
-            for did in pdf["doc_id"]:
-                did = int(did)
-                nf = did % 4 + 2
-                fw, fh = 8 + did % 5, 6 + did % 3
-                frames = [png_encode(np.full(
-                    (fh, fw), (did * 13 + f) % 256, np.uint8))
-                    for f in range(nf)]
-                blob = build_container(frames)     # ...and parse it back:
-                sampled = sample_frames(blob, _VFS_EVERY)
-                imgs = [png_decode(s) for s in sampled]
-                out["doc_id"].append(did)
-                out["n_frames"].append(nf)
+            for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+                frames = list(iter_frames(bytes(blob)))
+                imgs = [png_decode(f) for i, f in enumerate(frames)
+                        if i % _VFS_EVERY == 0]
+                out["doc_id"].append(int(did))
+                out["n_frames"].append(len(frames))
                 out["n_sampled"].append(len(imgs))
                 out["frame_w"].append(imgs[0].shape[1])
                 out["frame_h"].append(imgs[0].shape[0])
                 out["first_frame_luma"].append(int(imgs[0][0, 0]))
             yield pd.DataFrame(out)
 
-    return d.mapInPandas(
+    return v.mapInPandas(
         kern, "doc_id long, n_frames int, n_sampled int, frame_w int, "
               "frame_h int, first_frame_luma int")
 
@@ -1603,35 +1598,33 @@ def video_frame_sample(spark, sf_dir):
            CAST(abs((doc_id * 31 + w * 7) % 1000 - 500) AS DOUBLE) AS rms
     FROM a, LATERAL unnest(generate_series(0, n_win - 1)) AS u(w)""")
 def audio_window_rms(spark, sf_dir):
-    """Audio as an opaque BINARY column (driver's multimodal mandate):
-    deterministic s16le PCM is BUILT per doc from shared formulas, then
-    the operator PARSES the bytes back — frombuffer, fixed-size windowing,
-    per-window RMS — inside one mapInPandas.  Constant-amplitude windows
-    make the expected RMS exactly |amplitude|, so the oracle is pure
-    arithmetic and any byte-layout mistake fails the gate."""
+    """Audio as an opaque BINARY column SCANNED from the media table
+    (sources/media.py): the operator sees only s16le bytes — frombuffer,
+    fixed-size windowing (tail remainder shorter than one window is
+    dropped), per-window RMS — inside one mapInPandas.  The fixture's
+    constant-amplitude windows make the expected RMS exactly |amplitude|,
+    so the oracle is pure arithmetic and any byte-layout mistake in the
+    PCM framing fails the gate."""
     import numpy as np
     import pandas as pd
 
-    WIN = 400
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80) \
-        .select("doc_id")
+    from ..sources.media import WINDOW, synthetic_media
+
+    a = synthetic_media(spark).filter(F.col("kind") == "audio") \
+        .select("doc_id", "payload")
 
     def kern(it):
         for pdf in it:
             out = {"doc_id": [], "window_id": [], "rms": []}
-            for did in pdf["doc_id"]:
-                did = int(did)
-                n_win = did % 3 + 2
-                amps = [(did * 31 + w * 7) % 1000 - 500
-                        for w in range(n_win)]
-                pcm = np.repeat(np.array(amps, dtype=np.int16), WIN)
-                blob = pcm.tobytes()             # ...and parse it back:
-                x = np.frombuffer(blob, dtype=np.int16).astype(np.float64)
-                wins = x.reshape(-1, WIN)
+            for did, blob in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(blob), dtype=np.int16) \
+                    .astype(np.float64)
+                n_win = x.size // WINDOW
+                wins = x[:n_win * WINDOW].reshape(-1, WINDOW)
                 rms = np.round(np.sqrt((wins * wins).mean(axis=1)), 4)
-                out["doc_id"].extend([did] * n_win)
+                out["doc_id"].extend([int(did)] * n_win)
                 out["window_id"].extend(range(n_win))
                 out["rms"].extend(rms.tolist())
             yield pd.DataFrame(out)
 
-    return d.mapInPandas(kern, "doc_id long, window_id int, rms double")
+    return a.mapInPandas(kern, "doc_id long, window_id int, rms double")
