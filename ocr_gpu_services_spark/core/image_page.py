@@ -66,7 +66,18 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
         pys, pxs = np.nonzero(page)
         if pys.size == 0:
             return "", []
-        img = img[pys.min():pys.max() + 1, pxs.min():pxs.max() + 1]
+        sl = (slice(pys.min(), pys.max() + 1), slice(pxs.min(),
+                                                     pxs.max() + 1))
+        img, page = img[sl], page[sl]
+        if not page.all():
+            # bed pixels INSIDE the crop bbox: the page is a photographed
+            # quadrilateral, not an axis-aligned scan — rectify it (U5
+            # perspective, reference page_extractor.py:60-95 /
+            # corner_extractor.py:60-310).  The rectified canvas is the
+            # document grid; everything downstream (deskew, components,
+            # OCR) continues unchanged.
+            from .perspective import rectify_page
+            img = rectify_page(img, page)
 
     # upright-text fast path, decided BEFORE the skew search: if no
     # horizontal ink band is taller than a glyph row, the page has no

@@ -75,8 +75,18 @@ def image_plan(rng: random.Random, i: int) -> dict:
     bed = None
     if rng.random() < 0.35:
         bed = (rng.randint(10, 40), rng.randint(10, 40))
+    # ~1/4 are photographed with a keystoned camera: the page appears as
+    # a perspective QUADRILATERAL at OVERSAMPLE x the document grid and
+    # the kernel must 4-corner-rectify it first (U5 perspective,
+    # core/perspective.py).  Composes with rotation: the rectified
+    # document may still be skewed and then takes the deskew path.
+    persp = None
+    if rng.random() < 0.25:
+        persp = {"ddx": rng.randint(8, 60), "ddy": rng.randint(8, 60),
+                 "pad": (rng.randint(8, 30), rng.randint(8, 30))}
     return {"lines": lines, "sig_seed": sig_seed, "qr_payload": qr_payload,
-            "sig_x": sig_x, "qr_x": qr_x, "angle": angle, "bed": bed}
+            "sig_x": sig_x, "qr_x": qr_x, "angle": angle, "bed": bed,
+            "persp": persp}
 
 
 def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
@@ -117,12 +127,26 @@ BED = 176   # scanner-bed gray: neither ink (<128) nor paper (>230)
 
 def render_image_page(plan: dict) -> np.ndarray:
     """Upright compose + exact shear rotation, optionally placed on a
-    scanner bed (the bytes that get PNG'd).  The placed page rect is
-    exactly the rotated canvas (paper incl. its rotation padding), so the
-    kernel's page-crop recovers the canvas dims and the derotation stays
-    pixel-exact."""
+    scanner bed or photographed as a perspective quad (the bytes that get
+    PNG'd).  The placed page rect is exactly the rotated canvas (paper
+    incl. its rotation padding), so the kernel's page-crop recovers the
+    canvas dims and the derotation stays pixel-exact; a perspective
+    capture oversamples the document grid so the kernel's 4-corner
+    rectification is byte-exact too (core/perspective.py docstring)."""
     img, _ = compose_upright(plan)
     img = rotate_canvas(img, plan["angle"])
+    if plan.get("persp"):
+        from ..core.perspective import OVERSAMPLE, photograph_to_quad
+        p = plan["persp"]
+        fh, fw = img.shape
+        px, py = p["pad"]
+        tl = (px, py)
+        tr = (px + OVERSAMPLE * (fw - 1), py)
+        bl = (px, py + OVERSAMPLE * (fh - 1))
+        br = (px + OVERSAMPLE * (fw - 1) + p["ddx"],
+              py + OVERSAMPLE * (fh - 1) + p["ddy"])
+        canvas = (br[1] + py + 1, br[0] + px + 1)
+        return photograph_to_quad(img, (tl, tr, br, bl), canvas, BED)
     if plan.get("bed"):
         py, px = plan["bed"]
         out = np.full((img.shape[0] + 2 * py, img.shape[1] + 2 * px), BED,

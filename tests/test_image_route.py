@@ -200,3 +200,59 @@ def test_bedded_page_extracts_identically_to_bare_twin():
         assert [s.as_tuple() for s in s1] == [s.as_tuple() for s in s2]
         n += 1
     assert n >= 3
+
+
+def test_perspective_photograph_rectify_roundtrip():
+    """U5 perspective: a page photographed as an oversampled keystoned
+    quad rectifies back to the flat document canvas byte-for-byte —
+    structurally (no retries), because at OVERSAMPLE x capture distinct
+    document pixels stay further apart than the rounding diameter."""
+    import random
+
+    from ocr_gpu_services_spark.core.perspective import (OVERSAMPLE,
+                                                         photograph_to_quad)
+    from ocr_gpu_services_spark.fixtures import imagegen
+
+    for i in range(12):
+        rng = random.Random(9000 + i)
+        plan = imagegen.image_plan(rng, i)
+        plan["bed"] = None
+        plan["persp"] = None
+        flat = imagegen.render_image_page(plan)
+        fh, fw = flat.shape
+        r2 = random.Random(i)
+        ddx, ddy = r2.randint(8, 60), r2.randint(8, 60)
+        px, py = r2.randint(8, 30), r2.randint(8, 30)
+        tl = (px, py)
+        tr = (px + OVERSAMPLE * (fw - 1), py)
+        bl = (px, py + OVERSAMPLE * (fh - 1))
+        br = (tr[0] + ddx, bl[1] + ddy)
+        # photograph_to_quad ASSERTS the engine-path round trip internally
+        photograph_to_quad(flat, (tl, tr, br, bl),
+                           (br[1] + 20, br[0] + 20), imagegen.BED)
+
+
+def test_perspective_page_extracts_like_flat_twin():
+    """Full image route: keystoned (optionally also rotated) fixture
+    pages produce byte-identical (text, spans) to their flat twins."""
+    import random
+
+    from ocr_gpu_services_spark.core.glyph_ocr import build_atlas
+    from ocr_gpu_services_spark.core.image_page import process_image_page
+    from ocr_gpu_services_spark.fixtures import imagegen
+
+    atlas, charset = build_atlas()
+    checked = 0
+    for i in range(40):
+        rng = random.Random(9500 + i)
+        plan = imagegen.image_plan(rng, i)
+        if plan["persp"] is None:
+            continue
+        checked += 1
+        flat_plan = dict(plan, persp=None, bed=None)
+        ref = process_image_page(
+            imagegen.render_image_page(flat_plan), atlas, charset)
+        got = process_image_page(
+            imagegen.render_image_page(plan), atlas, charset)
+        assert got == ref, f"plan {i} diverged"
+    assert checked >= 5  # the 25% draw must actually exercise the path
