@@ -50,6 +50,13 @@ def build_atlas() -> tuple[np.ndarray, str]:
     mats = np.stack([_glyph_bits(c).reshape(64) for c in CHARSET])
     # unambiguity check: all glyphs pairwise distinct and non-blank
     assert len({m.tobytes() for m in mats}) == len(CHARSET)
+    # orientation-decidability check: no glyph is the 180-rotation of any
+    # glyph (incl. itself), so an upside-down glyph row can never score a
+    # perfect match — the orientation vote (orientation_score) is
+    # provably unambiguous, not probabilistically so
+    flipped = {m.reshape(8, 8)[::-1, ::-1].reshape(64).tobytes()
+               for m in mats}
+    assert not (flipped & {m.tobytes() for m in mats})
     return mats, CHARSET
 
 
@@ -69,6 +76,59 @@ def render_text_image(lines: list[str]) -> np.ndarray:
             x = MARGIN + c * CELL
             img[y:y + CELL, x:x + CELL] = np.where(bits == 1, INK, PAPER)
     return img
+
+
+def orientation_score(img: np.ndarray, atlas: np.ndarray) -> float:
+    """Glyph-agreement score of the page's FIRST glyph-height ink band —
+    the orientation classifier (the engine's stand-in for PaddleOCR's
+    ``use_angle_cls=True``, reference ocr_service.py:13).
+
+    Finds the topmost maximal run of ink-bearing rows no taller than a
+    glyph cell (signature/QR bands are 30+ px and skipped), slices it
+    into CELL-wide cells at the best of the CELL possible x-alignments,
+    and returns the mean per-cell agreement with the atlas over non-blank
+    cells.  A correctly-oriented clean glyph row scores exactly 64.0 at
+    its true alignment; an upside-down one can never reach 64.0 (no atlas
+    glyph equals a 180-rotated glyph — asserted in build_atlas).  Returns
+    -1.0 when the page has no glyph-height band (nothing to vote with).
+    """
+    ink = img < 128
+    rowink = ink.any(axis=1)
+    if not rowink.any():
+        return -1.0
+    d = np.diff(rowink.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1
+    if rowink[0]:
+        starts = np.concatenate(([0], starts))
+    if rowink[-1]:
+        ends = np.concatenate((ends, [rowink.size]))
+    band = next(((s, e) for s, e in zip(starts, ends) if e - s <= CELL),
+                None)
+    if band is None:
+        return -1.0
+    s, e = band
+    strip = ink[s:e]
+    xs = np.nonzero(strip.any(axis=0))[0]
+    af = atlas.astype(np.float32)
+    a_sum = af.sum(axis=1)
+    best = -1.0
+    for off in range(CELL):
+        x0 = int(xs.min()) - off
+        ncell = (int(xs.max()) - x0) // CELL + 1
+        pad = np.zeros((CELL, ncell * CELL), dtype=bool)
+        lo = max(x0, 0)
+        pad[:e - s, lo - x0:xs.max() + 1 - x0] = strip[:, lo:xs.max() + 1]
+        cells = pad.reshape(CELL, ncell, CELL).transpose(1, 0, 2) \
+                   .reshape(ncell, 64)
+        nb = cells.any(axis=1)
+        if not nb.any():
+            continue
+        cf = cells[nb].astype(np.float32)
+        agree = (64.0 - cf.sum(axis=1)[:, None] - a_sum[None, :]
+                 + 2.0 * (cf @ af.T)).max(axis=1)
+        best = max(best, float(agree.mean()))
+    return best
 
 
 def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str

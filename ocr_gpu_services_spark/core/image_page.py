@@ -94,6 +94,20 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     else:
         upright, _angle = deskew(img)
         ink = upright < 128
+
+    # orientation classification (reference parity: PaddleOCR runs with
+    # use_angle_cls=True, ocr_service.py:13 — upside-down/sideways text is
+    # detected and corrected before recognition).  Vote on the first
+    # glyph-height ink band: glyph agreement is provably lower for a
+    # 180-rotated row (no atlas glyph equals a rotated glyph), so a
+    # flipped scan is recognized and exactly un-rotated (a 180 rotation
+    # is a pixel permutation — byte-exact inverse).
+    from .glyph_ocr import orientation_score
+    flipped = upright[::-1, ::-1]
+    if orientation_score(flipped, atlas) > orientation_score(upright,
+                                                             atlas):
+        upright = np.ascontiguousarray(flipped)
+        ink = upright < 128
     ys, xs = np.nonzero(ink)
     if ys.size == 0:
         return "", []

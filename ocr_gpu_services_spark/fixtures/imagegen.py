@@ -84,9 +84,15 @@ def image_plan(rng: random.Random, i: int) -> dict:
     if rng.random() < 0.25:
         persp = {"ddx": rng.randint(8, 60), "ddy": rng.randint(8, 60),
                  "pad": (rng.randint(8, 30), rng.randint(8, 30))}
+    # ~1/5 are scanned upside-down (reference parity: Paddle's
+    # use_angle_cls=True corrects orientation before OCR).  Applied to
+    # the COMPOSED canvas before rotation/capture, so deskew and
+    # rectification stay exact and the kernel's orientation vote undoes
+    # the flip as a pure pixel permutation.
+    flip = rng.random() < 0.20
     return {"lines": lines, "sig_seed": sig_seed, "qr_payload": qr_payload,
             "sig_x": sig_x, "qr_x": qr_x, "angle": angle, "bed": bed,
-            "persp": persp}
+            "persp": persp, "flip": flip}
 
 
 def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
@@ -134,6 +140,8 @@ def render_image_page(plan: dict) -> np.ndarray:
     capture oversamples the document grid so the kernel's 4-corner
     rectification is byte-exact too (core/perspective.py docstring)."""
     img, _ = compose_upright(plan)
+    if plan.get("flip"):
+        img = img[::-1, ::-1].copy()     # 180-degree scan orientation
     img = rotate_canvas(img, plan["angle"])
     if plan.get("persp"):
         from ..core.perspective import OVERSAMPLE, photograph_to_quad

@@ -256,3 +256,50 @@ def test_perspective_page_extracts_like_flat_twin():
             imagegen.render_image_page(plan), atlas, charset)
         assert got == ref, f"plan {i} diverged"
     assert checked >= 5  # the 25% draw must actually exercise the path
+
+
+def test_flipped_page_extracts_like_unflipped_twin():
+    """U8-parity orientation handling (Paddle use_angle_cls): 180-flipped
+    pages — alone or composed with rotation, perspective capture, or bed
+    placement — extract byte-identically to their unflipped twins."""
+    import random
+
+    from ocr_gpu_services_spark.core.glyph_ocr import build_atlas
+    from ocr_gpu_services_spark.core.image_page import process_image_page
+    from ocr_gpu_services_spark.fixtures import imagegen
+
+    atlas, charset = build_atlas()
+    for i in range(15):
+        rng = random.Random(6000 + i)
+        plan = imagegen.image_plan(rng, i)
+        plan["flip"] = True
+        twin = dict(plan, flip=False)
+        ref = process_image_page(
+            imagegen.render_image_page(twin), atlas, charset)
+        got = process_image_page(
+            imagegen.render_image_page(plan), atlas, charset)
+        assert got == ref, f"plan {i} diverged"
+
+
+def test_upright_page_is_never_falsely_flipped():
+    """The orientation vote must leave correctly-oriented pages alone:
+    a clean glyph row scores a perfect 64 in place, and no 180-rotated
+    row can reach it (atlas asserts rot180-freeness)."""
+    import random
+
+    import numpy as np
+
+    from ocr_gpu_services_spark.core.glyph_ocr import (build_atlas,
+                                                       orientation_score)
+    from ocr_gpu_services_spark.fixtures import imagegen
+
+    atlas, _ = build_atlas()
+    for i in range(15):
+        rng = random.Random(6100 + i)
+        plan = imagegen.image_plan(rng, i)
+        plan.update(flip=False, angle=0.0, persp=None, bed=None)
+        img = imagegen.render_image_page(plan)
+        up = orientation_score(img, atlas)
+        down = orientation_score(np.ascontiguousarray(img[::-1, ::-1]),
+                                 atlas)
+        assert up == 64.0 and down < up
