@@ -128,6 +128,8 @@ def orientation_score(img: np.ndarray, atlas: np.ndarray) -> float:
         agree = (64.0 - cf.sum(axis=1)[:, None] - a_sum[None, :]
                  + 2.0 * (cf @ af.T)).max(axis=1)
         best = max(best, float(agree.mean()))
+        if best == 64.0:      # perfect row: no alignment can beat it
+            break
     return best
 
 

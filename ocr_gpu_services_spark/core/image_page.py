@@ -103,11 +103,12 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     # flipped scan is recognized and exactly un-rotated (a 180 rotation
     # is a pixel permutation — byte-exact inverse).
     from .glyph_ocr import orientation_score
-    flipped = upright[::-1, ::-1]
-    if orientation_score(flipped, atlas) > orientation_score(upright,
-                                                             atlas):
-        upright = np.ascontiguousarray(flipped)
-        ink = upright < 128
+    up_score = orientation_score(upright, atlas)
+    if up_score < 64.0:  # a perfect in-place row can never be beaten
+        flipped = upright[::-1, ::-1]
+        if orientation_score(flipped, atlas) > up_score:
+            upright = np.ascontiguousarray(flipped)
+            ink = upright < 128
     ys, xs = np.nonzero(ink)
     if ys.size == 0:
         return "", []
