@@ -1628,3 +1628,163 @@ def audio_window_rms(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return a.mapInPandas(kern, "doc_id long, window_id int, rms double")
+
+
+# ===========================================================================
+# round-3 crawl-pipeline additions: PII redaction, within-doc repetition,
+# domain rollup, deterministic stratified sampling
+# ===========================================================================
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+[.][a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_SQL = ("text || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
+            "CAST(doc_id % 20 AS VARCHAR) || '@mail' || "
+            "CAST(doc_id % 5 AS VARCHAR) || '.example.com now' "
+            "ELSE '' END) || (CASE WHEN doc_id % 4 = 0 THEN "
+            "' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR) || "
+            "'-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END)")
+
+
+def _pii_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" contact user"), (d % 20).cast("string"),
+            F.lit("@mail"), (d % 5).cast("string"),
+            F.lit(".example.com now"))).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(
+            F.lit(" call 555-"), (100 + d % 900).cast("string"),
+            F.lit("-"), (1000 + d % 9000).cast("string")))
+         .otherwise(F.lit("")))
+
+
+@q("pii_redact", f"""
+    WITH w AS (SELECT doc_id, {_PII_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS INTEGER)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>',
+                                             'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM w""")
+def pii_redact(spark, sf_dir):
+    """PII scrubbing (crawl-pipeline staple): emails and phone numbers are
+    planted deterministically per doc (the registry's planted-input
+    pattern, like url_canonicalize's URLs), then detected and redacted
+    with pure JVM regexp expressions — zero shuffle, zero Python.  The
+    oracle replays the identical regexes in DuckDB (RE2/Java-compatible
+    subset, no escapes) and value-checks the redacted text via md5."""
+    raw = _pii_spark()
+    red = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>")
+    return (_tw(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0)))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), F.lit(0)))
+         .alias("n_phones"),
+        F.md5(red).alias("redacted_md5")))
+
+
+@q("repetition_ratio", f"""
+    WITH s AS (SELECT doc_id, {dedup.shingles_sql('text')} AS sh
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(sh) AS INTEGER) AS n_shingles,
+           CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4)
+             AS rep_ratio,
+           CASE WHEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                     > 0.2 THEN 1 ELSE 0 END AS repetitive
+    FROM s""")
+def repetition_ratio(spark, sf_dir):
+    """Within-document repetition (the Gopher repetition-rule family at
+    shingle granularity): the duplicate-shingle fraction of each doc,
+    flagged above 20%.  Pure per-row higher-order functions — zero
+    shuffle, scales with corpus bytes."""
+    d = _tw(spark, sf_dir, "documents") \
+        .withColumn("_toks", textstats.tokens_col(F.col("text"))) \
+        .withColumn("_sh", dedup.shingles_from_tokens(F.col("_toks")))
+    n = F.size("_sh")
+    nd = F.size(F.array_distinct("_sh"))
+    ratio = F.lit(1.0) - nd.cast("double") / n
+    return d.select(
+        "doc_id", n.alias("n_shingles"), nd.alias("n_distinct"),
+        F.round(ratio, 4).alias("rep_ratio"),
+        F.when(ratio > 0.2, 1).otherwise(0).alias("repetitive"))
+
+
+@q("domain_stats", f"""
+    WITH u AS (SELECT doc_id,
+                      lower(regexp_extract({_URL_SQL},
+                            '^[a-zA-Z]+://([^/?#]+)', 1)) AS host,
+                      {textstats.quality_sql('text')['quality_ok']} AS q
+               FROM documents)
+    SELECT host, count(*) AS n_docs,
+           count(*) FILTER (q = 1) AS n_quality,
+           round(CAST(count(*) FILTER (q = 1) AS DOUBLE) / count(*), 4)
+             AS quality_share
+    FROM u GROUP BY host""")
+def domain_stats(spark, sf_dir):
+    """Per-domain rollup (crawl curation: which hosts are worth keeping):
+    host extracted from the planted URL family, one groupBy(host) with
+    map-side partial aggregation.  At 10^12 docs host is the classic
+    skewed key — AQE skew-split handles giant domains; the aggregate
+    itself is partial-combined so the shuffle carries one row per
+    (task, host)."""
+    q = textstats.quality_cols("text")["quality_ok"]
+    host = F.lower(F.regexp_extract(_url_spark(),
+                                    r"^[a-zA-Z]+://([^/?#]+)", 1))
+    return (_tw(spark, sf_dir, "documents")
+            .select(host.alias("host"), q.alias("q"))
+            .groupBy("host")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count(F.when(F.col("q") == 1, 1)).alias("n_quality"),
+                 F.round(F.count(F.when(F.col("q") == 1, 1)).cast("double")
+                         / F.count("*"), 4).alias("quality_share")))
+
+
+_SAMPLE_RATES = {"en": 37, "es": 61, "und": 89}   # pct kept per language
+
+
+@q("corpus_sample", f"""
+    WITH b AS (SELECT doc_id, {textstats.langid_sql('text')} AS lang,
+                      {dedup.h32_sql(textstats.fingerprint_sql('text'))}
+                        % 100 AS bucket
+               FROM documents)
+    SELECT lang, count(*) AS n_total,
+           count(*) FILTER (bucket < CASE lang
+                WHEN 'en' THEN {_SAMPLE_RATES['en']}
+                WHEN 'es' THEN {_SAMPLE_RATES['es']}
+                ELSE {_SAMPLE_RATES['und']} END) AS n_sampled,
+           round(CAST(count(*) FILTER (bucket < CASE lang
+                WHEN 'en' THEN {_SAMPLE_RATES['en']}
+                WHEN 'es' THEN {_SAMPLE_RATES['es']}
+                ELSE {_SAMPLE_RATES['und']} END) AS DOUBLE)
+                 / count(*), 4) AS observed_rate
+    FROM b GROUP BY lang""")
+def corpus_sample(spark, sf_dir):
+    """Deterministic stratified sampling (training-mix curation): each doc
+    hashes its content fingerprint to a bucket in [0, 100) and survives
+    iff bucket < its language's configured rate — reproducible across
+    runs and engines (no RNG), selection is content-keyed so re-crawled
+    duplicates sample identically.  Zero shuffle for the selection; one
+    groupBy(lang) for the audit record."""
+    lang = textstats.langid_col("text")
+    bucket = dedup._h32_spark(textstats.fingerprint_col("text")) % 100
+    rate = (F.when(F.col("lang") == "en", _SAMPLE_RATES["en"])
+             .when(F.col("lang") == "es", _SAMPLE_RATES["es"])
+             .otherwise(_SAMPLE_RATES["und"]))
+    d = (_tw(spark, sf_dir, "documents")
+         .select(lang.alias("lang"), bucket.alias("bucket"))
+         .withColumn("keep", (F.col("bucket") < rate).cast("int")))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_total"),
+                 F.count(F.when(F.col("keep") == 1, 1)).alias("n_sampled"),
+                 F.round(F.count(F.when(F.col("keep") == 1, 1))
+                          .cast("double") / F.count("*"), 4)
+                  .alias("observed_rate")))
