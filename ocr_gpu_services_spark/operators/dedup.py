@@ -238,7 +238,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         # * the anti-join itself is erased by AQE's empty-relation
         #   propagation whenever no bucket exceeds the cap, so the guard's
         #   steady-state cost is just the per-bucket count.
-        bands = bands.repartition(F.col("band"), F.col("bh"))
+        # partition count = defaultParallelism, not shuffle.partitions:
+        # the exploded band rows are narrow (ints + one md5), so the
+        # exchange wants exactly one bucket per core — measured ~1 s of
+        # pure local task-scheduling overhead at 4x that count, and at
+        # cluster scale defaultParallelism is executors*cores, the same
+        # magnitude AQE would coalesce to anyway.
+        want = docs.sparkSession.sparkContext.defaultParallelism
+        bands = bands.repartition(want, F.col("band"), F.col("bh"))
         over = (bands.groupBy("band", "bh")
                 .agg(F.count("doc_id").alias("_c"))
                 .filter(F.col("_c") > max_bucket)

@@ -53,7 +53,7 @@ def test_minhash_guard_reuses_the_band_exchange(spark, sf_dir):
     # full-row exchange every consumer reuses
     assert "Window" not in plan
     assert "LeftAnti" in plan
-    assert "REPARTITION_BY_COL" in plan
+    assert "REPARTITION_BY_NUM" in plan   # explicit one-per-core exchange
     assert "hashpartitioning(band" in plan
 
 
