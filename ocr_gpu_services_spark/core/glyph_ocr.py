@@ -50,13 +50,17 @@ def build_atlas() -> tuple[np.ndarray, str]:
     mats = np.stack([_glyph_bits(c).reshape(64) for c in CHARSET])
     # unambiguity check: all glyphs pairwise distinct and non-blank
     assert len({m.tobytes() for m in mats}) == len(CHARSET)
-    # orientation-decidability check: no glyph is the 180-rotation of any
-    # glyph (incl. itself), so an upside-down glyph row can never score a
-    # perfect match — the orientation vote (orientation_score) is
-    # provably unambiguous, not probabilistically so
-    flipped = {m.reshape(8, 8)[::-1, ::-1].reshape(64).tobytes()
-               for m in mats}
-    assert not (flipped & {m.tobytes() for m in mats})
+    # orientation-decidability check: no glyph is any quarter- or
+    # half-rotation of any glyph (incl. itself), so a rotated glyph row
+    # can never score a perfect match — the orientation vote
+    # (orientation_score) is provably unambiguous, not probabilistically
+    # so, for all four scan orientations
+    upright = {m.tobytes() for m in mats}
+    for k in (1, 2, 3):
+        rotated = {np.ascontiguousarray(
+            np.rot90(m.reshape(8, 8), k)).reshape(64).tobytes()
+            for m in mats}
+        assert not (rotated & upright), f"rot{90 * k} glyph collision"
     return mats, CHARSET
 
 

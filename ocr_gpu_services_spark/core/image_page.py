@@ -87,28 +87,58 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     # are 30+ px tall) — so the skew estimate, derotation and component
     # labeling are all skipped and the page OCRs directly.  This is the
     # majority case (plain scanned text).
-    ink = img < 128
-    fast_upright = _max_band_height(ink) <= CELL
-    if fast_upright:
-        upright = img
-    else:
-        upright, _angle = deskew(img)
-        ink = upright < 128
+    from .glyph_ocr import orientation_score
 
     # orientation classification (reference parity: PaddleOCR runs with
-    # use_angle_cls=True, ocr_service.py:13 — upside-down/sideways text is
-    # detected and corrected before recognition).  Vote on the first
-    # glyph-height ink band: glyph agreement is provably lower for a
-    # 180-rotated row (no atlas glyph equals a rotated glyph), so a
-    # flipped scan is recognized and exactly un-rotated (a 180 rotation
-    # is a pixel permutation — byte-exact inverse).
-    from .glyph_ocr import orientation_score
-    up_score = orientation_score(upright, atlas)
-    if up_score < 64.0:  # a perfect in-place row can never be beaten
-        flipped = upright[::-1, ::-1]
-        if orientation_score(flipped, atlas) > up_score:
-            upright = np.ascontiguousarray(flipped)
+    # use_angle_cls=True, ocr_service.py:13 — rotated text is detected
+    # and corrected before recognition).  Four-way vote on the first
+    # glyph-height ink band of each candidate rotation, lazily: the
+    # common (correct) orientation settles after ONE score.  A perfect
+    # 64.0 is PROOF of orientation — no atlas glyph equals any quarter-
+    # or half-rotation of a glyph (asserted in build_atlas) — and every
+    # correction is a pure pixel permutation, hence byte-exact.  A page
+    # that reaches 64.0 is also exactly upright, so the skew path is
+    # skipped entirely.
+    ink = img < 128
+    s0 = orientation_score(img, atlas)
+    settled = s0 == 64.0
+    if not settled:
+        if s0 > -1.0:
+            # a glyph-height band exists but is imperfect: upside-down
+            # (the flipped last text row) or skewed — never quarter-
+            # turned (a quarter-turned text block has no glyph-height
+            # horizontal band at all), so only the half-turn is tried
+            cand = np.ascontiguousarray(np.rot90(img, 2))
+            if orientation_score(cand, atlas) == 64.0:
+                img, ink, settled = cand, cand < 128, True
+        else:
+            # no glyph-height band in place: quarter-turned, text-free,
+            # or heavily skewed — try both quarter turns
+            for k in (1, 3):
+                cand = np.ascontiguousarray(np.rot90(img, k))
+                if orientation_score(cand, atlas) == 64.0:
+                    img, ink, settled = cand, cand < 128, True
+                    break
+
+    fast_upright = False
+    if settled:
+        upright = img
+    else:
+        # no rotation yields a perfect glyph row: either a skewed page
+        # (deskew restores it exactly, then the 180 re-vote below
+        # settles direction) or a page with no text rows at all
+        fast_upright = _max_band_height(ink) <= CELL
+        if fast_upright:
+            upright = img
+        else:
+            upright, _angle = deskew(img)
             ink = upright < 128
+        up_score = orientation_score(upright, atlas)
+        if up_score < 64.0:  # a perfect in-place row can never be beaten
+            flipped = upright[::-1, ::-1]
+            if orientation_score(flipped, atlas) > up_score:
+                upright = np.ascontiguousarray(flipped)
+                ink = upright < 128
     ys, xs = np.nonzero(ink)
     if ys.size == 0:
         return "", []

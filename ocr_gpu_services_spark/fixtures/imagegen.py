@@ -90,9 +90,18 @@ def image_plan(rng: random.Random, i: int) -> dict:
     # rectification stay exact and the kernel's orientation vote undoes
     # the flip as a pure pixel permutation.
     flip = rng.random() < 0.20
+    # ~15% are quarter-turned scans (90/270).  A quarter turn is an exact
+    # scanner placement, so these pages carry no additional sub-degree
+    # skew (the kernel's quarter-turn vote needs a provably-perfect glyph
+    # row, which skew destroys; a skewed+quarter-turned photo is outside
+    # the reference's use_angle_cls envelope too).
+    turn = 0
+    if rng.random() < 0.15:
+        turn = rng.choice([1, 3])
+        angle = 0.0
     return {"lines": lines, "sig_seed": sig_seed, "qr_payload": qr_payload,
             "sig_x": sig_x, "qr_x": qr_x, "angle": angle, "bed": bed,
-            "persp": persp, "flip": flip}
+            "persp": persp, "flip": flip, "turn": turn}
 
 
 def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
@@ -142,6 +151,8 @@ def render_image_page(plan: dict) -> np.ndarray:
     img, _ = compose_upright(plan)
     if plan.get("flip"):
         img = img[::-1, ::-1].copy()     # 180-degree scan orientation
+    if plan.get("turn"):
+        img = np.ascontiguousarray(np.rot90(img, plan["turn"]))
     img = rotate_canvas(img, plan["angle"])
     if plan.get("persp"):
         from ..core.perspective import OVERSAMPLE, photograph_to_quad

@@ -314,10 +314,12 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         # broadcast anti-join of the tiny over-cap set — no full-row sort
         # (the count-over-window formulation cost +125% in round 2).
         # Same one-exchange shape as the minhash guard (see there for the
-        # count("doc_id") and AQE empty-relation notes): repartition on
-        # the join key so the df-count subtree and both self-join sides
-        # reuse a single exchange — the shingle explode runs once.
-        sh_p = sh.repartition(F.col("sh"))
+        # count("doc_id"), AQE empty-relation, and partition-count
+        # notes): repartition on the join key so the df-count subtree and
+        # both self-join sides reuse a single exchange — the shingle
+        # explode runs once.
+        want = docs.sparkSession.sparkContext.defaultParallelism
+        sh_p = sh.repartition(want, F.col("sh"))
         over = (sh_p.groupBy("sh").agg(F.count("doc_id").alias("_c"))
                 .filter(F.col("_c") > max_df).select("sh"))
         joinable = sh_p.join(F.broadcast(over), "sh", "left_anti")

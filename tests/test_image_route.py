@@ -297,9 +297,36 @@ def test_upright_page_is_never_falsely_flipped():
     for i in range(15):
         rng = random.Random(6100 + i)
         plan = imagegen.image_plan(rng, i)
-        plan.update(flip=False, angle=0.0, persp=None, bed=None)
+        plan.update(flip=False, angle=0.0, persp=None, bed=None, turn=0)
         img = imagegen.render_image_page(plan)
         up = orientation_score(img, atlas)
         down = orientation_score(np.ascontiguousarray(img[::-1, ::-1]),
                                  atlas)
         assert up == 64.0 and down < up
+
+
+def test_quarter_turned_page_extracts_like_upright_twin():
+    """90/270-degree scans — alone or composed with flip, perspective
+    capture, or bed placement — are detected by the four-way orientation
+    vote and extract byte-identically to their upright twins."""
+    import random
+
+    from ocr_gpu_services_spark.core.glyph_ocr import build_atlas
+    from ocr_gpu_services_spark.core.image_page import process_image_page
+    from ocr_gpu_services_spark.fixtures import imagegen
+
+    atlas, charset = build_atlas()
+    checked = 0
+    for i in range(80):
+        rng = random.Random(14000 + i)
+        plan = imagegen.image_plan(rng, i)
+        if plan["turn"] == 0:
+            continue
+        checked += 1
+        twin = dict(plan, turn=0, flip=False, persp=None, bed=None)
+        ref = process_image_page(
+            imagegen.render_image_page(twin), atlas, charset)
+        got = process_image_page(
+            imagegen.render_image_page(plan), atlas, charset)
+        assert got == ref, f"plan {i} diverged"
+    assert checked >= 5
