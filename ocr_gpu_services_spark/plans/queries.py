@@ -1788,3 +1788,108 @@ def corpus_sample(spark, sf_dir):
                  F.round(F.count(F.when(F.col("keep") == 1, 1))
                           .cast("double") / F.count("*"), 4)
                   .alias("observed_rate")))
+
+
+_SS_L = 15      # substring-dedup window length (tokens), stride 1
+
+
+@q("substring_dedup", f"""
+    WITH toks AS (
+      SELECT doc_id, {textstats.tokens_sql('text')} AS t
+      FROM documents WHERE doc_id < 120),
+    grams AS (
+      SELECT doc_id, CAST(p AS INTEGER) AS p,
+             md5(array_to_string(list_slice(t, p, p + {_SS_L} - 1), ' '))
+               AS g
+      FROM toks, LATERAL unnest(generate_series(
+               1, len(t) - {_SS_L} + 1)) AS u(p)
+      WHERE len(t) >= {_SS_L}),
+    marked AS (
+      SELECT doc_id, p,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+      FROM grams)
+    SELECT doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS dup_share
+    FROM marked GROUP BY doc_id""")
+def substring_dedup(spark, sf_dir):
+    """Exact-substring duplicate detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    stride-1 window of {_SS_L} tokens is fingerprinted corpus-wide and
+    all but its first occurrence (order: doc_id, position) is marked
+    duplicated; the per-doc duplicated-window share is the
+    training-data signal.  Plan: windows are built with per-row HOFs
+    (transform over an index sequence — no self-join), the only
+    shuffles are the per-gram first-occurrence window and the per-doc
+    rollup.  Stride 1 multiplies rows by ~tokens-per-doc; at corpus
+    scale the published recipe strides/samples anchors — the plan shape
+    is unchanged, only the sequence step widens."""
+    d = _tw(spark, sf_dir, "documents").filter(F.col("doc_id") < 120) \
+        .select("doc_id", "text") \
+        .withColumn("t", textstats.tokens_col(F.col("text"))) \
+        .filter(F.size("t") >= _SS_L)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - _SS_L + 1),
+            lambda p: F.md5(F.array_join(
+                F.slice("t", p, _SS_L), " "))))
+         .alias("p0", "g")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "g")
+    w = Window.partitionBy("g").orderBy("doc_id", "p")
+    marked = grams.withColumn("rn", F.row_number().over(w))
+    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_windows"),
+                 dup.alias("n_dup_windows"),
+                 F.round(dup.cast("double") / F.count("*"), 4)
+                  .alias("dup_share")))
+
+
+@q("tfidf_topterms", f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({textstats.tokens_sql('text')}))
+               AS term
+      FROM documents),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    tf AS (
+      SELECT doc_id, term FROM toks),
+    df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round(ln(CAST((SELECT n FROM n_docs) AS DOUBLE) / df.df), 6)
+               AS idf
+      FROM tf t JOIN df ON t.term = df.term),
+    ranked AS (
+      SELECT doc_id, term, idf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY idf DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, idf, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3""")
+def tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 rarest terms by IDF (the tf-idf keyword family
+    over the distinct-term incidence): document frequency from one
+    groupBy(term) with map-side partial agg, idf joined back (at corpus
+    scale the df table for frequent terms is small enough to broadcast;
+    here the join key co-partitions), per-doc top-k via row_number with
+    WindowGroupLimit pushdown — no global sort."""
+    toks = (_tw(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.explode(F.array_distinct(
+                        textstats.tokens_col(F.col("text")))).alias("term")))
+    # corpus size as a broadcast single-row cross join — fully lazy, no
+    # driver-side action inside the plan builder
+    n_docs = toks.agg(F.count_distinct("doc_id").alias("n"))
+    df = toks.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (toks.join(df, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("idf", F.round(
+                  F.log(F.col("n").cast("double") / F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("idf"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "idf", "rk"))
