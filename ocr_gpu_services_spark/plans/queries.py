@@ -1893,3 +1893,72 @@ def tfidf_topterms(spark, sf_dir):
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 3)
             .select("doc_id", "term", "idf", "rk"))
+
+
+@q("perplexity_filter", f"""
+    WITH d AS (
+      SELECT doc_id, array_to_string({textstats.tokens_sql('text')}, ' ')
+               AS t
+      FROM documents),
+    tri AS (
+      SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g,
+             substr(t, CAST(i AS INTEGER), 2) AS b
+      FROM d, LATERAL unnest(generate_series(1, length(t) - 2)) AS u(i)
+      WHERE length(t) >= 3),
+    tri_c AS (SELECT g, count(*) AS cg FROM tri GROUP BY g),
+    bi_c AS (SELECT b, count(*) AS cb
+             FROM (SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS b
+                   FROM d, LATERAL unnest(generate_series(
+                            1, length(t) - 1)) AS u(i)
+                   WHERE length(t) >= 2) GROUP BY b),
+    scored AS (
+      SELECT tri.doc_id, ln(CAST(cg AS DOUBLE) / cb) AS lp
+      FROM tri JOIN tri_c ON tri.g = tri_c.g
+               JOIN bi_c ON tri.b = bi_c.b)
+    SELECT doc_id, count(*) AS n_trigrams,
+           round(avg(lp), 4) AS avg_logprob,
+           CASE WHEN avg(lp) < -2.5 THEN 1 ELSE 0 END AS reject
+    FROM scored GROUP BY doc_id""")
+def perplexity_filter(spark, sf_dir):
+    """CCNet-style language-model quality filter (Wenzek et al. 2020):
+    documents are scored by the mean log-probability of their character
+    trigrams under a model TRAINED ON THE CORPUS ITSELF in the same
+    plan — P(c3|c1c2) = count(trigram)/count(bigram-prefix), the
+    deterministic stand-in for CCNet's pretrained KenLM — and rejected
+    below a threshold (unusual character sequences score low).
+
+    Plan shape: the model is two partial-aggregated groupBys over
+    exploded n-grams; scoring joins each doc's trigrams against the
+    model on short string keys.  At corpus scale the trigram/bigram
+    tables are tiny relative to the corpus (bounded by charset^3) and
+    broadcast; here the equi-joins co-partition.  Canonicalized token
+    text (not raw) so the model sees the same stream every engine
+    tokenizes to."""
+    d = (_tw(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.array_join(textstats.tokens_col(F.col("text")), " ")
+                  .alias("t")))
+    # expr-level substring: the python F.substring wants a literal pos,
+    # the SQL form accepts the lambda index
+    tri = (d.filter(F.length("t") >= 3)
+           .select("doc_id", F.explode(F.expr(
+               "transform(sequence(1, length(t) - 2), "
+               "i -> struct(substring(t, i, 3) AS g, "
+               "substring(t, i, 2) AS b))")).alias("x"))
+           .select("doc_id", F.col("x.g").alias("g"),
+                   F.col("x.b").alias("b")))
+    bi = (d.filter(F.length("t") >= 2)
+          .select(F.explode(F.expr(
+              "transform(sequence(1, length(t) - 1), "
+              "i -> substring(t, i, 2))")).alias("b")))
+    tri_c = tri.groupBy("g").agg(F.count("*").alias("cg"))
+    bi_c = bi.groupBy("b").agg(F.count("*").alias("cb"))
+    scored = (tri.join(F.broadcast(tri_c), "g")
+              .join(F.broadcast(bi_c), "b")
+              .withColumn("lp", F.log(F.col("cg").cast("double")
+                                      / F.col("cb"))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_trigrams"),
+                 F.round(F.avg("lp"), 4).alias("avg_logprob"),
+                 F.when(F.avg("lp") < -2.5, 1).otherwise(0)
+                  .alias("reject")))
