@@ -160,3 +160,29 @@ def test_derotate_ink_matches_canvas_on_unpadded_pages(seed, deg_halves, h, w):
     a = derotate_ink(img, deg)
     b = derotate_canvas(img, deg)
     assert ((a < 128) == (b < 128)).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(seed=st.integers(0, 2 ** 20), h=st.integers(3, 60),
+       w=st.integers(3, 60), density=st.floats(0.05, 0.9))
+def test_quad_corners_boundary_scan_matches_full_scan(seed, h, w, density):
+    """quad_corners' per-row boundary-candidate scan must equal the naive
+    all-pixels extreme-point scan, tie-breaks included."""
+    import random as _r
+
+    import numpy as np
+
+    from ocr_gpu_services_spark.core.perspective import quad_corners
+    rng = _r.Random(seed)
+    mask = np.array([[rng.random() < density for _ in range(w)]
+                     for _ in range(h)])
+    if not mask.any():
+        mask[h // 2, w // 2] = True
+    ys, xs = np.nonzero(mask)
+    s = xs + ys
+    d = xs - ys
+    want = ((int(xs[s.argmin()]), int(ys[s.argmin()])),
+            (int(xs[d.argmax()]), int(ys[d.argmax()])),
+            (int(xs[s.argmax()]), int(ys[s.argmax()])),
+            (int(xs[d.argmin()]), int(ys[d.argmin()])))
+    assert quad_corners(mask) == want
