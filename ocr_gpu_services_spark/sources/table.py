@@ -94,9 +94,43 @@ class IcebergLikeTable:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
 
-    def total_committed_rows(self) -> int:
-        total = 0
+    def manifests(self) -> list[dict]:
+        """All committed partition manifests, sorted by commit time."""
+        out = []
         for part in self.committed_partitions():
             with open(os.path.join(self.manifest_dir, part + ".json")) as f:
-                total += json.load(f)["row_count"]
-        return total
+                out.append(json.load(f))
+        return sorted(out, key=lambda m: m["committed_at_unix"])
+
+    def read_as_of(self, spark: SparkSession, as_of_unix: float = None,
+                   run_id: str = None) -> DataFrame:
+        """Snapshot read (the Iceberg time-travel analogue over the
+        manifest layer): only partitions committed at-or-before
+        ``as_of_unix`` — or by the given ``run_id`` — are scanned, and
+        ONLY through the exact file lists their manifests recorded.
+
+        Scope matches the manifest design honestly: partitions this
+        table model has since REWRITTEN (dynamic overwrite replaces the
+        directory) no longer hold their old files, and the read fails
+        loudly on the missing file instead of silently returning the
+        newer data — time travel is exact for the append-mostly crawl
+        pattern the engine targets, never approximate."""
+        sel = [m for m in self.manifests()
+               if (as_of_unix is None or m["committed_at_unix"] <= as_of_unix)
+               and (run_id is None or m["run_id"] == run_id)]
+        if not sel:
+            raise ValueError("no committed partitions match the snapshot")
+        paths, missing = [], []
+        for m in sel:
+            for f in m["files"]:
+                p = os.path.join(self.path, m["partition"], f["name"])
+                (paths if os.path.exists(p) else missing).append(p)
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot files rewritten since commit: {missing[:3]}"
+                f"{' ...' if len(missing) > 3 else ''}")
+        # basePath keeps the Hive partition column in the projected schema
+        return spark.read.option("basePath", self.path).parquet(*paths)
+
+    def total_committed_rows(self) -> int:
+        return sum(m["row_count"] for m in self.manifests())

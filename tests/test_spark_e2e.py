@@ -439,3 +439,42 @@ def test_job_layout_templates_flag(spark, tmp_path, extracted_rows):
     index, texts = _load_goldens()
     for url, meta in index.items():
         assert got[url]["extracted_text"].encode("utf-8") == texts[url]
+
+
+def test_snapshot_read_as_of_and_by_run(spark, tmp_path):
+    """Iceberg-style time travel over the manifest layer: a snapshot read
+    scans exactly the files the selected manifests committed — by run_id
+    or by commit timestamp — and fails loudly if a later rewrite removed
+    them (never silently returns newer data)."""
+    import time as _time
+
+    import pytest
+
+    out = str(tmp_path / "t")
+    pages = synthetic_pages(spark, "tiny")
+    days = sorted(r[0] for r in pages.select(
+        F.date_format("warc_ts", "yyyy-MM-dd")).distinct().collect())
+    first = pages.filter(
+        F.date_format("warc_ts", "yyyy-MM-dd").isin(days[:2]))
+    run_job(spark, first, out, run_id="run1")
+    t_between = _time.time()
+    run_job(spark, pages, out, run_id="run2", resume=True)
+
+    table = IcebergLikeTable(out)
+    full = table.read(spark).count()
+    snap_run1 = table.read_as_of(spark, run_id="run1")
+    snap_t = table.read_as_of(spark, as_of_unix=t_between)
+    n1 = snap_run1.count()
+    assert n1 == snap_t.count() < full
+    assert set(r[0] for r in snap_run1.select(
+        F.date_format("warc_ts", "yyyy-MM-dd")).distinct().collect()) \
+        == set(days[:2])
+    assert "warc_day" in snap_run1.columns     # basePath keeps partition col
+
+    # staleness: delete a committed file -> the snapshot read refuses
+    m = table.manifests()[0]
+    victim = f"{out}/{m['partition']}/{m['files'][0]['name']}"
+    import os as _os
+    _os.remove(victim)
+    with pytest.raises(FileNotFoundError):
+        table.read_as_of(spark, run_id=m["run_id"]).count()
