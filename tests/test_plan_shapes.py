@@ -63,3 +63,37 @@ def test_extraction_pipeline_single_python_crossing(spark):
     plan = _plan(extract_pipeline(synthetic_pages(spark, "tiny")))
     assert plan.count("MapInArrow (") == 1     # ONE JVM->Python crossing
     assert "BatchEvalPython" not in plan       # no row-at-a-time Python
+
+
+def test_bucketed_tables_join_with_zero_exchange(spark, sf_dir, tmp_path):
+    """Co-located joins via bucketing (the PLANS.md big-join strategy):
+    two tables bucketed+sorted on the join key join with NO exchange in
+    the executed plan — the shuffle was paid once at write time, which
+    is the 100 TB recipe for repeatedly-joined tables."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .withColumnRenamed("vec_id", "doc_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (docs.write.mode("overwrite")
+         .option("path", str(tmp_path / "docs_b"))
+         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("docs_b"))
+        (emb.write.mode("overwrite")
+         .option("path", str(tmp_path / "emb_b"))
+         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("emb_b"))
+        j = spark.table("docs_b").join(spark.table("emb_b"), "doc_id") \
+            .select("doc_id", F.length("text").alias("n"))
+        n = j.count()
+        assert n == 500
+        s = j._jdf.queryExecution().executedPlan().toString()
+        final = s.split("== Initial")[0]
+        assert "Exchange" not in final
+        assert "SortMergeJoin" in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS docs_b")
+        spark.sql("DROP TABLE IF EXISTS emb_b")
