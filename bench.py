@@ -65,7 +65,7 @@ def main():
     (extract_pipeline(pages.sample(0.02, seed=1))
      .select(F.count("*")).collect())
     t_extract, out = None, None
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: one extra draw vs outside tenant load
         t0 = time.time()
         # fresh plan each pass (same-object reuse would hit Spark's
         # shuffle-stage cache and measure nothing); force full
