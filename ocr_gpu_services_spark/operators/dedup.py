@@ -410,3 +410,73 @@ def word_overlap_pairs_sql(table: str = "documents",
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     """
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Resolve candidate PAIRS into duplicate CLUSTERS: connected
+    components over the undirected pair graph, labels = the component's
+    minimum doc_id (the canonical representative a dedup pipeline keeps).
+
+    The distributed iterative-algorithm shape (like IVF training): each
+    round joins current labels across edges and keeps the per-node min —
+    min-label propagation converges in O(component diameter) rounds, and
+    near-dup components are shallow (dup clusters are cliques or short
+    chains, not long paths).  Driver state per round is ONE changed-count;
+    the working sets are persisted and rotated.  Returns
+    (doc_id, cluster_id, n_members) for every node in the pair graph.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("a"),
+                          F.col("doc_b").alias("b"))
+             .unionByName(pairs.select(F.col("doc_b").alias("a"),
+                                       F.col("doc_a").alias("b")))
+             .distinct().persist())
+    labels = (edges.select(F.col("a").alias("doc_id"))
+              .distinct()
+              .withColumn("lab", F.col("doc_id"))
+              .persist())
+    labels.count()
+    for _ in range(max_iters):
+        # neighbor minimum: my label next round = min(mine, neighbors')
+        nbr = (edges.join(labels, edges.a == labels.doc_id)
+               .groupBy(F.col("b").alias("doc_id"))
+               .agg(F.min("lab").alias("nlab")))
+        new = (labels.join(nbr, "doc_id", "left")
+               .select("doc_id",
+                       F.least("lab", F.coalesce("nlab", "lab"))
+                        .alias("lab"))
+               .persist())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.lab") != F.col("o.lab")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("n_members"))
+    out = (labels.join(sizes, "lab")
+           .select("doc_id", F.col("lab").alias("cluster_id"), "n_members"))
+    edges.unpersist()
+    return out
+
+
+def dup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE, min per node."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+    lbl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM lbl
+    """

@@ -1962,3 +1962,25 @@ def perplexity_filter(spark, sf_dir):
                  F.round(F.avg("lp"), 4).alias("avg_logprob"),
                  F.when(F.avg("lp") < -2.5, 1).otherwise(0)
                   .alias("reject")))
+
+
+_MH_CORPUS_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
+                  "SELECT doc_id + 100000, text FROM documents "
+                  "WHERE doc_id % 7 = 0)")
+
+
+@q("dup_clusters", dedup.dup_clusters_sql(
+    dedup.minhash_lsh_pairs_sql(_MH_CORPUS_SQL)))
+def dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution: the minhash candidate pairs resolved
+    into connected components by distributed min-label propagation (the
+    iterative-graph family, like IVF's Lloyd loop: per-round state on the
+    driver is one changed-count).  cluster_id = the component's minimum
+    doc_id, i.e. the representative a dedup pipeline keeps; oracle = a
+    DuckDB recursive-CTE transitive closure over the identical pair
+    set."""
+    d = _tw(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0) \
+           .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    pairs = dedup.minhash_lsh_pairs(d.unionByName(dup))
+    return dedup.dup_clusters(pairs)

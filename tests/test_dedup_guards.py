@@ -68,3 +68,20 @@ def test_default_caps_do_not_change_gate_corpus_results(spark):
     uncapped = {tuple(r) for r in
                 dedup.ngram_jaccard_pairs(docs, max_df=None).collect()}
     assert capped == uncapped
+
+
+def test_dup_clusters_resolves_components(spark):
+    """Min-label propagation == ground-truth connected components on a
+    hand-built graph: a chain, a triangle, an isolated pair."""
+    from ocr_gpu_services_spark.operators.dedup import dup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> cluster 1 (size 4)
+         (10, 11), (11, 12), (10, 12),    # triangle -> cluster 10 (size 3)
+         (20, 21)],                       # pair -> cluster 20 (size 2)
+        "doc_a long, doc_b long")
+    got = {(r.doc_id, r.cluster_id, r.n_members)
+           for r in dup_clusters(pairs).collect()}
+    want = {(1, 1, 4), (2, 1, 4), (3, 1, 4), (4, 1, 4),
+            (10, 10, 3), (11, 10, 3), (12, 10, 3),
+            (20, 20, 2), (21, 20, 2)}
+    assert got == want
