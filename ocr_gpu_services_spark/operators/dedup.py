@@ -434,9 +434,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
              .unionByName(pairs.select(F.col("doc_b").alias("a"),
                                        F.col("doc_a").alias("b")))
              .distinct().persist())
-    labels = (edges.select(F.col("a").alias("doc_id"))
-              .distinct()
-              .withColumn("lab", F.col("doc_id"))
+    # initialization already applies the FIRST propagation round without
+    # a join: every node starts at min(itself, its direct neighbors) —
+    # one groupBy over the symmetric edge list.  Shallow components
+    # (pairs/cliques, the common dup shape) then converge in a single
+    # verification round.
+    labels = (edges.groupBy(F.col("a").alias("doc_id"))
+              .agg(F.min("b").alias("nb"))
+              .select("doc_id", F.least("doc_id", "nb").alias("lab"))
               .persist())
     labels.count()
     for _ in range(max_iters):
