@@ -38,7 +38,21 @@ def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cores) this is a no-op passthrough with zero added shuffle."""
     df = _t(spark, sf_dir, name)
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= want:
+    # estimate the scan's split count from the file listing (driver-side
+    # stat, <10 ms) instead of df.rdd.getNumPartitions(): materializing
+    # the RDD conversion costs >1 s of plan translation PER CALL, a tax
+    # this helper was silently adding to every registry query.  The
+    # 128 MB divisor is Spark's default files.maxPartitionBytes;
+    # under-estimating splits merely adds a benign repartition.
+    import os
+    splits = 0
+    for f in df.inputFiles():
+        p = f.removeprefix("file:")
+        try:
+            splits += max(1, -(-os.path.getsize(p) // (128 << 20)))
+        except OSError:
+            splits += 1
+    if splits >= want:
         return df
     return df.repartition(want)
 
