@@ -123,7 +123,12 @@ def rectify_page(img: np.ndarray, page_mask: np.ndarray,
     tl, tr, br, bl = quad_corners(page_mask)
     w = int(round((tr[0] - tl[0]) / oversample)) + 1
     h = int(round((bl[1] - tl[1]) / oversample)) + 1
-    Hm = _corner_h((tl, tr, br, bl), w, h)
+    if w <= 1 or h <= 1:
+        return img          # degenerate page (line/point): nothing to warp
+    try:
+        Hm = _corner_h((tl, tr, br, bl), w, h)
+    except np.linalg.LinAlgError:
+        return img          # collinear corners: no homography exists
     xs, ys = np.meshgrid(np.arange(w, dtype=np.float64),
                          np.arange(h, dtype=np.float64))
     qx, qy = apply_h(Hm, xs, ys)

@@ -330,3 +330,20 @@ def test_quarter_turned_page_extracts_like_upright_twin():
             imagegen.render_image_page(plan), atlas, charset)
         assert got == ref, f"plan {i} diverged"
     assert checked >= 5
+
+
+def test_rectify_degenerate_quad_falls_back_to_crop():
+    """A page region too thin/collinear for a homography (stray streak on
+    a bed) must fall back to the crop, not raise into the error column."""
+    import numpy as np
+
+    from ocr_gpu_services_spark.core.perspective import rectify_page
+
+    img = np.full((40, 60), 176, np.uint8)
+    for i in range(30):
+        img[5 + i // 3, 5 + i] = 0          # thin diagonal streak
+    page = (img < 128) | (img > 230)
+    assert rectify_page(img, page).shape == img.shape
+    img2 = np.full((10, 10), 176, np.uint8)
+    img2[4, 4] = 0                           # single-pixel page
+    assert rectify_page(img2, (img2 < 128) | (img2 > 230)).shape == (10, 10)
