@@ -28,14 +28,18 @@ _CDATA_CLOSE = {
     "style": re.compile(r"</\s*style[^>]*>", re.IGNORECASE),
 }
 
-# one token = a complete tag; each attr alternative consumes >=1 char so
-# the scan is linear (no catastrophic backtracking).  '/' is consumed as
-# attr content only when NOT followed by '>' — otherwise the greedy attr
-# run would swallow the self-close slash of '<iframe/>' and the skip-tag
-# depth counter would never come back down.
-# groups: (1)=closing '/', (2)=tag name, (3)=self-close '/'
-_TOKEN = re.compile(
-    r"<(?:"
+# one scan token = comment | declaration/PI | complete tag; each attr
+# alternative consumes >=1 char so the scan is linear (no catastrophic
+# backtracking).  '/' is consumed as attr content only when NOT followed
+# by '>' — otherwise the greedy attr run would swallow the self-close
+# slash of '<iframe/>' and the skip-tag depth counter would never come
+# back down.  The comment alternative is first (a comment may contain
+# '>') and swallows to EOF when unterminated, matching the old
+# find-based behavior.  groups: (1)=closing '/', (2)=tag name,
+# (3)=self-close '/'
+_SCAN = re.compile(
+    r"<!--.*?(?:-->|$)"
+    r"|<(?:"
     r"[!?][^>]*>"
     r"|(/)?([a-zA-Z][-.a-zA-Z0-9:_]*)"
     r"(?:[^<>'\"/]+|/(?!>)|\"[^\"]*\"|'[^']*')*"
@@ -51,29 +55,25 @@ def _data(handler, s: str) -> None:
 
 
 def feed_events(raw: str, handler) -> None:
-    """Tokenize ``raw`` and invoke the handler's four event hooks."""
-    pos, n = 0, len(raw)
-    while pos < n:
-        lt = raw.find("<", pos)
-        if lt < 0:
-            _data(handler, raw[pos:])
-            return
-        if lt > pos:
-            _data(handler, raw[pos:lt])
-        if raw.startswith("<!--", lt):          # comment (may contain '>')
-            end = raw.find("-->", lt + 4)
-            pos = (end + 3) if end >= 0 else n
+    """Tokenize ``raw`` and invoke the handler's four event hooks.
+
+    One C-level ``finditer`` pass locates every markup token; text
+    between tokens (including bare '<' that opens no tag) is data.
+    CDATA bodies (script/style) are jumped with ``pos``; scan matches
+    that start inside a jumped region are skipped.  Event content is
+    identical to the previous find/match loop — only the data-chunk
+    SPLIT may differ, which the block extractor is insensitive to (the
+    corpus-level extraction-equality test pins this)."""
+    pos = 0
+    for m in _SCAN.finditer(raw):
+        s = m.start()
+        if s < pos:                             # inside a CDATA jump
             continue
-        m = _TOKEN.match(raw, lt)
-        if m is None:
-            # literal '<' that opens no tag: emit as data up to next '<'
-            nxt = raw.find("<", lt + 1)
-            _data(handler, raw[lt:nxt] if nxt >= 0 else raw[lt:])
-            pos = nxt if nxt >= 0 else n
-            continue
+        if s > pos:
+            _data(handler, raw[pos:s])
         pos = m.end()
-        close, name, selfclose = m.groups()
-        if name is None:                        # declaration / PI
+        close, name, selfclose = m.group(1), m.group(2), m.group(3)
+        if name is None:                        # comment/declaration/PI
             continue
         tag = name.lower()
         if close:
@@ -87,7 +87,10 @@ def feed_events(raw: str, handler) -> None:
                 mc = cd.search(raw, pos)
                 if mc is None:
                     handler.handle_data(raw[pos:])
-                    return
-                handler.handle_data(raw[pos:mc.start()])
-                handler.handle_endtag(tag)
-                pos = mc.end()
+                    pos = len(raw)
+                else:
+                    handler.handle_data(raw[pos:mc.start()])
+                    handler.handle_endtag(tag)
+                    pos = mc.end()
+    if pos < len(raw):
+        _data(handler, raw[pos:])
