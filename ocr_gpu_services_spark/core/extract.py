@@ -22,7 +22,7 @@ from .image_page import process_image_page
 from .normalize import canonical_text, collapse_ws
 from .pdf_extract import extract_pdf
 from .png import png_decode
-from .sniff import (CT_HTML, CT_IMAGE, CT_PDF, CT_TEXT, CT_UNKNOWN,
+from .sniff import (CT_HTML, CT_IMAGE, CT_PDF, CT_TEXT,
                     sniff_content_type)
 from .spans import Span
 

@@ -10,7 +10,7 @@ the correctness gate cross-checks engine vs oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..core.stopwords import ENGLISH_STOPWORDS, SPANISH_STOPWORDS
