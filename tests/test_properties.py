@@ -186,3 +186,28 @@ def test_quad_corners_boundary_scan_matches_full_scan(seed, h, w, density):
             (int(xs[s.argmax()]), int(ys[s.argmax()])),
             (int(xs[d.argmin()]), int(ys[d.argmin()])))
     assert quad_corners(mask) == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2 ** 20), h=st.integers(1, 60),
+       w=st.integers(1, 80), density=st.floats(0.0, 1.0))
+def test_orientation_score_total_on_arbitrary_pages(seed, h, w, density):
+    """orientation_score must be total and bounded on ANY pixel content
+    (noise, empty, solid) — never raising, never exceeding a perfect 64,
+    returning -1 exactly when no glyph-height band exists."""
+    import random as _r
+
+    import numpy as np
+
+    from ocr_gpu_services_spark.core.glyph_ocr import (CELL, build_atlas,
+                                                       orientation_score)
+    atlas, _ = build_atlas()
+    rng = _r.Random(seed)
+    img = np.full((h, w), 255, np.uint8)
+    for _ in range(int(h * w * density)):
+        img[rng.randrange(h), rng.randrange(w)] = 0
+    s = orientation_score(img, atlas)
+    assert s == -1.0 or 0.0 <= s <= 64.0
+    ink = img < 128
+    if not ink.any():
+        assert s == -1.0
