@@ -170,28 +170,33 @@ def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
     conf = agree.max(axis=1) / 64.0
     blank = ~flat.any(axis=1)
 
-    lines: list[str] = []
+    # vectorized decode: the per-cell Python loop was the kernel's
+    # hottest remaining block.  Character grid in one fancy-index, word
+    # runs from one transition diff per page, per-word conf as a
+    # contiguous slice mean (bit-identical to the old per-index list
+    # mean: same float64 elements in the same order)
+    charr = np.array(list(charset))
+    grid = np.where(blank, " ", charr[best]).reshape(n_rows, n_cols)
+    lines = ["".join(row).rstrip() for row in grid]
+    conf2 = conf.reshape(n_rows, n_cols)
+
+    nonspace = (grid != " ")
+    # cells beyond each line's rstripped end are trailing blanks — they
+    # are already False in nonspace (blank cells decode to " ")
+    d = np.diff(nonspace.astype(np.int8), axis=1)
     spans: list[Span] = []
     for r in range(n_rows):
-        chars = []
-        for c in range(n_cols):
-            i = r * n_cols + c
-            chars.append(" " if blank[i] else charset[best[i]])
-        line = "".join(chars).rstrip()
-        lines.append(line)
-        # word spans: maximal runs of non-space chars
-        c = 0
-        while c < len(line):
-            if line[c] == " ":
-                c += 1
-                continue
-            start = c
-            while c < len(line) and line[c] != " ":
-                c += 1
-            idxs = [r * n_cols + k for k in range(start, c)]
+        starts = list(np.nonzero(d[r] == 1)[0] + 1)
+        ends = list(np.nonzero(d[r] == -1)[0] + 1)
+        if nonspace[r, 0]:
+            starts.insert(0, 0)
+        if nonspace[r, -1]:
+            ends.append(n_cols)
+        line = lines[r]
+        for start, c in zip(starts, ends):
             spans.append(Span(
                 text=line[start:c],
-                conf=float(np.mean([conf[i] for i in idxs])),
+                conf=float(conf2[r, start:c].mean()),
                 x0=float(x0 + start * CELL), y0=float(y0 + r * PITCH_Y),
                 x1=float(x0 + c * CELL), y1=float(y0 + r * PITCH_Y + CELL),
                 kind="word",
