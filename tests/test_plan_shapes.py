@@ -97,3 +97,24 @@ def test_bucketed_tables_join_with_zero_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS docs_b")
         spark.sql("DROP TABLE IF EXISTS emb_b")
+
+
+def test_round3_operators_plan_shapes(spark, sf_dir):
+    """Plan guards for the round-3 operators: the n-gram model joins in
+    perplexity_filter broadcast (the model is bounded by charset^3);
+    substring_dedup builds windows with HOFs — no self-join anywhere;
+    tfidf_topterms' per-doc top-k goes through WindowGroupLimit; none of
+    them fall back to row-at-a-time Python."""
+    from ocr_gpu_services_spark.plans.queries import QUERIES
+
+    perp = _plan(QUERIES["perplexity_filter"](spark, sf_dir))
+    assert perp.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in perp
+
+    sub = _plan(QUERIES["substring_dedup"](spark, sf_dir))
+    assert "Join" not in sub            # windows + aggregates only
+    assert "BatchEvalPython" not in sub
+
+    tf = _plan(QUERIES["tfidf_topterms"](spark, sf_dir))
+    assert "WindowGroupLimit" in tf
+    assert "BatchEvalPython" not in tf
