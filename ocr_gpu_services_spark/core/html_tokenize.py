@@ -28,21 +28,28 @@ _CDATA_CLOSE = {
     "style": re.compile(r"</\s*style[^>]*>", re.IGNORECASE),
 }
 
-# one scan token = comment | declaration/PI | complete tag; each attr
-# alternative consumes >=1 char so the scan is linear (no catastrophic
-# backtracking).  '/' is consumed as attr content only when NOT followed
-# by '>' — otherwise the greedy attr run would swallow the self-close
-# slash of '<iframe/>' and the skip-tag depth counter would never come
-# back down.  The comment alternative is first (a comment may contain
-# '>') and swallows to EOF when unterminated, matching the old
-# find-based behavior.  groups: (1)=closing '/', (2)=tag name,
-# (3)=self-close '/'
+# one scan token = comment | declaration/PI | complete tag.  The attr
+# run uses a POSSESSIVE star (Python 3.11): the alternatives are
+# mutually exclusive at every position (plain chars / slash / quoted
+# string start on disjoint characters), so possessive matching accepts
+# the identical language — but a failing tag (a '<name' with no
+# terminating '>' in 4 KB of garbage) fails in linear time instead of
+# exponentially re-splitting the run.  A fuzz probe caught the
+# backtracking blowup: 4 KB of random bytes sniffed as HTML took >10 s
+# per document with the old `(?:...)*` — a crawl-scale DoS, present
+# since round 1 and never triggered by well-formed fixtures.
+# '/' is consumed as attr content only when NOT followed by '>' —
+# otherwise the greedy attr run would swallow the self-close slash of
+# '<iframe/>' and the skip-tag depth counter would never come back
+# down.  The comment alternative is first (a comment may contain '>')
+# and swallows to EOF when unterminated, matching the old find-based
+# behavior.  groups: (1)=closing '/', (2)=tag name, (3)=self-close '/'
 _SCAN = re.compile(
     r"<!--.*?(?:-->|$)"
     r"|<(?:"
     r"[!?][^>]*>"
     r"|(/)?([a-zA-Z][-.a-zA-Z0-9:_]*)"
-    r"(?:[^<>'\"/]+|/(?!>)|\"[^\"]*\"|'[^']*')*"
+    r"(?:[^<>'\"/]+|/(?!>)|\"[^\"]*\"|'[^']*')*+"
     r"(/)?>"
     r")",
     re.DOTALL,

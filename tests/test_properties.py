@@ -211,3 +211,38 @@ def test_orientation_score_total_on_arbitrary_pages(seed, h, w, density):
     ink = img < 128
     if not ink.any():
         assert s == -1.0
+
+
+@settings(max_examples=120, deadline=None)
+@given(seed=st.integers(0, 2 ** 20),
+       kind=st.sampled_from(["raw", "png", "pdf", "html", "truncated"]),
+       size=st.integers(0, 4000))
+def test_extract_document_total_on_adversarial_payloads(seed, kind, size):
+    """The kernel must be TOTAL on arbitrary bytes — a 100 TB crawl
+    guarantees malformed payloads; every failure becomes the error
+    column, never an exception out of the row."""
+    import random as _r
+
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    get_atlas()
+    rng = _r.Random(seed)
+    body = bytes(rng.randrange(256) for _ in range(size))
+    if kind == "png":
+        payload = b"\x89PNG\r\n\x1a\n" + body
+    elif kind == "pdf":
+        payload = b"%PDF-1.4\n" + body
+    elif kind == "html":
+        payload = b"<html><body>" + body
+    elif kind == "truncated":
+        from ocr_gpu_services_spark.fixtures import imagegen
+        from ocr_gpu_services_spark.core.png import png_encode
+        plan = imagegen.image_plan(_r.Random(seed), 1)
+        full = png_encode(imagegen.render_image_page(plan))
+        payload = bytes(full[:max(9, size % max(len(full), 10))])
+    else:
+        payload = body
+    ct, text, spans, dt, conf, err = extract_document(payload, None)
+    assert isinstance(ct, str) and isinstance(text, str)
+    assert isinstance(spans, list)
+    assert err is None or isinstance(err, str)
