@@ -295,3 +295,33 @@ def test_mega_page_byte_capped_chunking():
     megarow = next(r for r in rows if r["url"] == "u2")
     assert megarow["error"] is None
     assert len(megarow["extracted_text"]) > 1_000_000
+
+
+def test_adversarial_html_payload_is_linear_time():
+    """Regression guard for the catastrophic-backtracking fix: a '<tag'
+    followed by kilobytes of garbage with no terminating '>' must
+    tokenize in linear time (the possessive attr run).  Alarm-bounded so
+    a regression FAILS the suite instead of hanging it."""
+    import random
+    import signal
+    import time
+
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    get_atlas()
+    rng = random.Random(1)
+    body = bytes(rng.randrange(256) for _ in range(4000))
+    payload = b"<html><body><a " + body
+
+    def onalarm(sig, frm):
+        raise TimeoutError("tokenizer not linear")
+    old = signal.signal(signal.SIGALRM, onalarm)
+    signal.alarm(20)
+    try:
+        t0 = time.time()
+        ct, text, spans, dt, conf, err = extract_document(payload, None)
+        assert time.time() - t0 < 19
+        assert isinstance(text, str)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
