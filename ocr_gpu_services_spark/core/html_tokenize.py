@@ -64,18 +64,25 @@ def _data(handler, s: str) -> None:
 def feed_events(raw: str, handler) -> None:
     """Tokenize ``raw`` and invoke the handler's four event hooks.
 
-    One C-level ``finditer`` pass locates every markup token; text
-    between tokens (including bare '<' that opens no tag) is data.
-    CDATA bodies (script/style) are jumped with ``pos``; scan matches
-    that start inside a jumped region are skipped.  Event content is
-    identical to the previous find/match loop — only the data-chunk
-    SPLIT may differ, which the block extractor is insensitive to (the
-    corpus-level extraction-equality test pins this)."""
+    Repeated C-level ``_SCAN.search(raw, pos)`` calls locate every
+    markup token; text between tokens (including bare '<' that opens no
+    tag) is data.  CDATA bodies (script/style) are jumped by moving
+    ``pos`` past the close tag and resuming the search THERE — a plain
+    ``finditer`` is wrong here because a match that *starts* inside the
+    jumped region but *ends* past it would be skipped while the iterator
+    still advanced past its end, swallowing real markup after the CDATA
+    close (e.g. ``<script><p x='</script><b>z</b>'>`` lost the <b>
+    events).  Event content is identical to the original find/match loop
+    — only the data-chunk SPLIT may differ, which the block extractor is
+    insensitive to (the corpus-level extraction-equality test pins
+    this)."""
     pos = 0
-    for m in _SCAN.finditer(raw):
+    n = len(raw)
+    while pos < n:
+        m = _SCAN.search(raw, pos)
+        if m is None:
+            break
         s = m.start()
-        if s < pos:                             # inside a CDATA jump
-            continue
         if s > pos:
             _data(handler, raw[pos:s])
         pos = m.end()

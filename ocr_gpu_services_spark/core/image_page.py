@@ -103,22 +103,19 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     s0 = orientation_score(img, atlas)
     settled = s0 == 64.0
     if not settled:
-        if s0 > -1.0:
-            # a glyph-height band exists but is imperfect: upside-down
-            # (the flipped last text row) or skewed — never quarter-
-            # turned (a quarter-turned text block has no glyph-height
-            # horizontal band at all), so only the half-turn is tried
-            cand = np.ascontiguousarray(np.rot90(img, 2))
+        # try the remaining rotations lazily, half-turn first when a
+        # glyph-height band exists in place (the common upside-down
+        # case), quarter turns first otherwise.  The quarter turns are
+        # ALWAYS in the candidate list: a quarter-turned page can still
+        # present a glyph-height horizontal band (a 1-char word's column
+        # band, isolated punctuation), so s0 > -1 must not rule them out
+        # — only a perfect 64.0 proves orientation.
+        order = (2, 1, 3) if s0 > -1.0 else (1, 3, 2)
+        for k in order:
+            cand = np.ascontiguousarray(np.rot90(img, k))
             if orientation_score(cand, atlas) == 64.0:
                 img, ink, settled = cand, cand < 128, True
-        else:
-            # no glyph-height band in place: quarter-turned, text-free,
-            # or heavily skewed — try both quarter turns
-            for k in (1, 3):
-                cand = np.ascontiguousarray(np.rot90(img, k))
-                if orientation_score(cand, atlas) == 64.0:
-                    img, ink, settled = cand, cand < 128, True
-                    break
+                break
 
     fast_upright = False
     if settled:

@@ -416,18 +416,29 @@ def word_overlap_pairs_sql(table: str = "documents",
 # near-dup cluster resolution (connected components over the pair graph)
 # ---------------------------------------------------------------------------
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
     """Resolve candidate PAIRS into duplicate CLUSTERS: connected
     components over the undirected pair graph, labels = the component's
     minimum doc_id (the canonical representative a dedup pipeline keeps).
 
     The distributed iterative-algorithm shape (like IVF training): each
-    round joins current labels across edges and keeps the per-node min —
-    min-label propagation converges in O(component diameter) rounds, and
-    near-dup components are shallow (dup clusters are cliques or short
-    chains, not long paths).  Driver state per round is ONE changed-count;
-    the working sets are persisted and rotated.  Returns
-    (doc_id, cluster_id, n_members) for every node in the pair graph.
+    round (1) takes the per-node min over neighbor labels and (2)
+    POINTER-JUMPS — replaces each label by its label's label — so
+    convergence is O(log component-diameter) rounds, not O(diameter):
+    a 1000-long transitive near-dup chain resolves in ~11 rounds.
+    Driver state per round is ONE changed-count, and each round is ONE
+    materializing job: the previous label rides along in the update
+    lineage (``prev_lab``) so convergence is read from an aggregate over
+    the materialized working set instead of a second old-vs-new join.
+    Each round's working set is ``localCheckpoint``-ed — the pointer
+    jump is a self-join, so without lineage truncation the logical plan
+    DOUBLES every round and the driver OOMs planning round ~8; dropped
+    working sets are reclaimed by Spark's ContextCleaner.  Iterates
+    until a fixed point;
+    ``max_iters`` is a loud safety valve (RuntimeError), never a silent
+    truncation — a pathological component must get correct labels or
+    fail.  Returns (doc_id, cluster_id, n_members) for every node in
+    the pair graph.
     """
     edges = (pairs.select(F.col("doc_a").alias("a"),
                           F.col("doc_b").alias("b"))
@@ -442,25 +453,43 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     labels = (edges.groupBy(F.col("a").alias("doc_id"))
               .agg(F.min("b").alias("nb"))
               .select("doc_id", F.least("doc_id", "nb").alias("lab"))
-              .persist())
-    labels.count()
+              .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iters):
         # neighbor minimum: my label next round = min(mine, neighbors')
         nbr = (edges.join(labels, edges.a == labels.doc_id)
                .groupBy(F.col("b").alias("doc_id"))
                .agg(F.min("lab").alias("nlab")))
-        new = (labels.join(nbr, "doc_id", "left")
+        mid = (labels.join(nbr, "doc_id", "left")
                .select("doc_id",
+                       F.col("lab").alias("prev_lab"),
                        F.least("lab", F.coalesce("nlab", "lab"))
-                        .alias("lab"))
-               .persist())
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.lab") != F.col("o.lab")).count())
-        labels.unpersist()
+                        .alias("mlab")))
+        # pointer jump: labels are always node ids with lab(u) <= u, so
+        # following one more hop (label of my label) is still inside the
+        # component and monotonically non-increasing — halves the
+        # remaining distance-to-root every round.
+        hop = mid.select(F.col("doc_id").alias("h_id"),
+                         F.col("mlab").alias("hlab"))
+        new = (mid.join(hop, mid.mlab == hop.h_id, "left")
+               .select("doc_id", "prev_lab",
+                       F.coalesce("hlab", "mlab").alias("lab"))
+               .localCheckpoint(eager=True))
+        # the shuffles ran once in the checkpoint job; the changed-count
+        # is a tiny scan of the materialized set — no second
+        # labels-vs-labels join.
+        changed = (new.agg(F.sum(
+            (F.col("lab") != F.col("prev_lab")).cast("long"))
+            .alias("c")).collect()[0]["c"]) or 0
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dup_clusters: no fixed point after {max_iters} rounds — "
+            "component diameter exceeds the safety cap; raise max_iters")
     sizes = labels.groupBy("lab").agg(F.count("*").alias("n_members"))
     out = (labels.join(sizes, "lab")
            .select("doc_id", F.col("lab").alias("cluster_id"), "n_members"))

@@ -251,6 +251,11 @@ def test_fast_tokenizer_matches_stdlib():
         "<a href=/un/quoted>link</a><p>t</p>",
         "<p title='has > inside'>attr gt</p>",
         "<nav><a href='/x'>l1</a></nav><main><p>m</p></main>",
+        # regression: a tag-shaped run STARTING inside the script CDATA
+        # body but ENDING past the </script> close must not swallow the
+        # real markup after the close (finditer-skip bug: <b> was lost)
+        "<p>a</p><script><p x='</script><b>z</b>'>tail",
+        "<style>q{content:'</style><p>kept</p>'}",
     ]
     for e in edges:
         assert fast(e) == std(e), e

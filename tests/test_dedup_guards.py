@@ -85,3 +85,23 @@ def test_dup_clusters_resolves_components(spark):
             (10, 10, 3), (11, 10, 3), (12, 10, 3),
             (20, 20, 2), (21, 20, 2)}
     assert got == want
+
+
+def test_dup_clusters_long_chain_converges_or_raises(spark):
+    """High-diameter component: a 60-node path has diameter 59 — far past
+    the old silent 20-round cap under plain propagation; pointer jumping
+    must resolve it in ~7 rounds.  The operator must (a) reach the true
+    fixed point with the default safety valve, and (b) RAISE (never
+    silently mislabel) when the valve is set below what the component
+    needs."""
+    import pytest
+
+    from ocr_gpu_services_spark.operators.dedup import dup_clusters
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long")
+    got = {(r.doc_id, r.cluster_id, r.n_members)
+           for r in dup_clusters(pairs).collect()}
+    assert got == {(i, 1, n) for i in range(1, n + 1)}
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        dup_clusters(pairs, max_iters=3).collect()
