@@ -16,6 +16,11 @@ cheaper.  The subset implemented is the standard text-showing machinery:
 * two-column pages: if both halves of the page hold >= 2 lines, the left
   column is read top-to-bottom before the right (pdfminer-style layout
   grouping, simplified to the deterministic case)
+* SCANNED pages: a page with no text runs but an image XObject
+  (/DeviceGray 8-bit) is a raster scan — its pixels route through the
+  full image OCR kernel (crop -> rectify -> orient -> deskew ->
+  components -> glyph OCR, core/image_page.py), closing the
+  reference's rasterize-and-OCR path for image-only PDFs
 
 Ties are broken by the total order (-y, x, stream sequence) so the output is
 byte-stable under any parse order (SURVEY.md §7.3 item 2).
@@ -45,6 +50,13 @@ _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
 _TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
+_XOBJ_REF_RE = re.compile(rb"/[^\s/<>\[\]()]+\s+(\d+)\s+\d+\s+R")
+_IMG_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Image\b")
+_IMG_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_IMG_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+_IMG_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_IMG_GRAY_RE = re.compile(rb"/ColorSpace\s*/DeviceGray\b")
 
 
 @dataclass
@@ -333,8 +345,62 @@ def _layout_lines(runs: list[_Run], page_width: float):
     return sorted(_group_lines(runs), key=key)
 
 
+def _page_scan_images(body: bytes, objs: dict[int, bytes]):
+    """Gray rasters of the page's image XObjects (document order).
+
+    Subset: /DeviceGray, 8 bits/component, Flate or raw stream — the
+    shape the fixture's scan-to-PDF writer emits.  Returns [] when the
+    page has no decodable image."""
+    import numpy as np
+
+    out = []
+    xm = _XOBJ_DICT_RE.search(body)
+    if xm is None:
+        return out
+    for ref in _XOBJ_REF_RE.finditer(xm.group(1)):
+        xbody = objs.get(int(ref.group(1)))
+        if xbody is None or not _IMG_SUBTYPE_RE.search(xbody):
+            continue
+        wm = _IMG_WIDTH_RE.search(xbody)
+        hm = _IMG_HEIGHT_RE.search(xbody)
+        bm = _IMG_BPC_RE.search(xbody)
+        if not (wm and hm and _IMG_GRAY_RE.search(xbody)):
+            continue
+        if bm and int(bm.group(1)) != 8:
+            continue
+        raw = _object_stream(xbody)
+        w, h = int(wm.group(1)), int(hm.group(1))
+        if raw is None or len(raw) < w * h:
+            continue
+        out.append(np.frombuffer(raw[:w * h], dtype=np.uint8)
+                   .reshape(h, w))
+    return out
+
+
+def _ocr_scanned_page(img) -> tuple[str, list[Span]]:
+    """Route a scanned (raster) PDF page through the glyph-OCR kernel —
+    the reference rasterizes and OCRs EVERY pdf
+    (/root/reference/src/api/v1/routers/ocr.py:64-67, docTR
+    ``DocumentFile.from_pdf``); this engine reserves that path for pages
+    that actually are rasters.  The full image route applies: page crop,
+    perspective rectification, orientation vote, deskew, connected
+    components, QR/signature regions, glyph OCR
+    (core/image_page.py)."""
+    from .extract import get_atlas          # late: avoids import cycle
+    from .image_page import process_image_page
+    atlas, charset = get_atlas()
+    return process_image_page(img, atlas, charset)
+
+
 def extract_pdf(payload: bytes) -> tuple[str, list[Span]]:
-    """Extract reading-order text + line spans from PDF bytes."""
+    """Extract reading-order text + line spans from PDF bytes.
+
+    Pages whose content produces no text runs but that carry an image
+    XObject are SCANNED pages: their raster is OCRed via the image-page
+    kernel (word/signature/qr spans in the page's canonical pixel frame)
+    and the render joins the document text exactly like a born-digital
+    page — whole-PDF text is the per-page renders joined by blank lines,
+    matching the reference's concatenated per-page OCR output."""
     objs = _parse_objects(payload)
     page_nums = _page_order(payload, objs)
 
@@ -359,6 +425,16 @@ def extract_pdf(payload: bytes) -> tuple[str, list[Span]]:
         for cb in content_bodies:
             runs.extend(_runs_from_stream(cb, seq))
             seq += len(runs)
+        if not runs:
+            scans = _page_scan_images(body, objs)
+            if scans:
+                parts = []
+                for img in scans:
+                    t, page_spans = _ocr_scanned_page(img)
+                    parts.append(t)
+                    spans.extend(page_spans)
+                page_texts.append("\n\n".join(p for p in parts if p))
+                continue
         lines = _layout_lines(runs, width)
         page_texts.append("\n".join(ln[2] for ln in lines))
         for y, x, text, size in lines:

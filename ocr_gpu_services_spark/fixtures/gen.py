@@ -24,7 +24,7 @@ SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
 
 # bump whenever generated payload bytes change, so cached bench corpora
 # (bench.py's /tmp parquet cache) are regenerated instead of silently reused
-GEN_VERSION = "r3-orientation-2"
+GEN_VERSION = "r4-scanned-pdf-1"
 
 _WORDS_EN = (
     "pipeline spark batch arrow kernel parquet shuffle partition executor "
@@ -98,26 +98,61 @@ def _html_page(rng: random.Random, i: int, mega: bool) -> tuple[bytes, str]:
     return html.encode("utf-8"), lang
 
 
-def _pdf_page(rng: random.Random, i: int) -> bytes:
+def _pdf_plan(rng: random.Random, i: int) -> dict:
+    """Draw ALL of a pdf row's randomness up front (plan-pure rendering,
+    same discipline as imagegen.image_plan) so independent oracles can
+    reconstruct the planted ground truth without rendering.
+
+    ~25% of pdf rows are fully SCANNED documents (every page an image
+    XObject raster, incl. rotated/flipped/keystoned captures via the
+    shared image_plan machinery) and ~8% are MIXED (odd pages scanned) —
+    real crawl corpora are full of scan-to-PDF output, the reference
+    OCRs every pdf by rasterizing it (routers/ocr.py:64-67)."""
     n_pages = rng.randint(1, 3)
+    r_kind = rng.random()
+    doc_kind = ("scan" if r_kind < 0.25
+                else "mixed" if r_kind < 0.33 else "text")
     pages = []
     for p in range(n_pages):
-        n_lines = rng.randint(4, 10)
-        lines = [_sentence(rng, rng.randint(4, 9)) for _ in range(n_lines)]
-        if rng.random() < 0.3:
-            lines[0] = lines[0] + " " + rng.choice(
-                ["invoice total", "recibo oficial", "agreement draft", ""])
-        style = rng.randrange(4)
-        if style == 0:
-            ops = content_stream_ops(lines)
-        elif style == 1:
-            ops = content_stream_ops(lines, scrambled=True)
-        elif style == 2:
-            ops = content_stream_ops(lines, scrambled=True, use_tj=True)
+        scanned = (doc_kind == "scan"
+                   or (doc_kind == "mixed" and p % 2 == 1))
+        if scanned:
+            pages.append({"kind": "scan",
+                          "plan": imagegen.image_plan(rng, i * 7 + p)})
         else:
-            ops = content_stream_ops(lines, two_col=True)
-        pages.append(ops)
-    return build_pdf(pages, compress=rng.random() < 0.5)
+            n_lines = rng.randint(4, 10)
+            lines = [_sentence(rng, rng.randint(4, 9))
+                     for _ in range(n_lines)]
+            if rng.random() < 0.3:
+                lines[0] = lines[0] + " " + rng.choice(
+                    ["invoice total", "recibo oficial", "agreement draft",
+                     ""])
+            pages.append({"kind": "text", "style": rng.randrange(4),
+                          "lines": lines})
+    return {"pages": pages, "compress": rng.random() < 0.5}
+
+
+def _render_pdf(plan: dict) -> bytes:
+    pages = []
+    for pg in plan["pages"]:
+        if pg["kind"] == "scan":
+            pages.append(imagegen.render_image_page(pg["plan"]))
+        else:
+            lines, style = pg["lines"], pg["style"]
+            if style == 0:
+                ops = content_stream_ops(lines)
+            elif style == 1:
+                ops = content_stream_ops(lines, scrambled=True)
+            elif style == 2:
+                ops = content_stream_ops(lines, scrambled=True, use_tj=True)
+            else:
+                ops = content_stream_ops(lines, two_col=True)
+            pages.append(ops)
+    return build_pdf(pages, compress=plan["compress"])
+
+
+def _pdf_page(rng: random.Random, i: int) -> bytes:
+    return _render_pdf(_pdf_plan(rng, i))
 
 
 def _image_page(rng: random.Random, i: int) -> bytes:
@@ -159,6 +194,43 @@ def image_expectations(scale: str = "tiny", seed: int = 7) -> list[dict]:
         meta = imagegen.canonical_meta(imagegen.image_plan(rng_i, i))
         meta["url"] = f"https://{host}/p/{i:07d}"
         out.append(meta)
+    return out
+
+
+def pdf_expectations(scale: str = "tiny", seed: int = 7) -> list[dict]:
+    """Ground-truth metadata for every pdf row, derived from the PLAN
+    only (placement arithmetic, never the extraction pipeline):
+    * expected_text — full-document extracted text: per-page reading-order
+      lines (identical for all born-digital emission styles; the planted
+      glyph lines for scanned pages) joined by blank lines
+    * scan_metas — canonical-frame qr/signature geometry of each scanned
+      page (imagegen.canonical_meta), for the qr/signature span oracles
+    """
+    from ..core.normalize import canonical_text, collapse_ws
+    n = SCALES[scale]
+    pdf_block = range(int(n * 0.55), int(n * 0.55) + max(2, n // 25))
+    out = []
+    for i in range(n):
+        rng_i = random.Random((seed << 20) ^ i)
+        if _row_kind(i, rng_i.random(), pdf_block) != "pdf":
+            continue
+        host = "pdf-farm.example" if i in pdf_block else "pages.example"
+        plan = _pdf_plan(rng_i, i)
+        page_texts, scan_metas = [], []
+        for pg in plan["pages"]:
+            if pg["kind"] == "scan":
+                page_texts.append("\n".join(
+                    collapse_ws(ln) for ln in pg["plan"]["lines"]))
+                scan_metas.append(imagegen.canonical_meta(pg["plan"]))
+            else:
+                page_texts.append("\n".join(
+                    collapse_ws(ln) for ln in pg["lines"]))
+        out.append({"url": f"https://{host}/p/{i:07d}",
+                    "expected_text": canonical_text(
+                        "\n\n".join(t for t in page_texts if t)),
+                    "n_scan_pages": sum(1 for pg in plan["pages"]
+                                        if pg["kind"] == "scan"),
+                    "scan_metas": scan_metas})
     return out
 
 

@@ -59,26 +59,62 @@ def content_stream_ops(lines: list[str], *, two_col: bool = False,
     return "\n".join(ops).encode("latin-1")
 
 
-def build_pdf(pages: list[bytes], *, compress: bool = False) -> bytes:
-    """Assemble a complete PDF from per-page content streams."""
+def build_pdf(pages: list, *, compress: bool = False) -> bytes:
+    """Assemble a complete PDF.  Each page is either a content-stream
+    ``bytes`` (born-digital text page) or a 2-D uint8 numpy array (a
+    SCANNED page: the gray raster becomes a /DeviceGray 8-bit
+    FlateDecode image XObject painted by the page's content stream —
+    the shape real scan-to-PDF tools emit, which the extractor's OCR
+    fallback must detect and route through the glyph-OCR kernel)."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
-    font_num = 3 + 2 * n_pages
-    page_nums = [3 + 2 * i for i in range(n_pages)]
-    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    # allocate object numbers: 2 per text page, 3 per scanned page
+    # (page, contents, image xobject), font last
+    entries = []
+    nxt = 3
+    for p in pages:
+        if isinstance(p, (bytes, bytearray)):
+            entries.append((nxt, nxt + 1, None))
+            nxt += 2
+        else:
+            entries.append((nxt, nxt + 1, nxt + 2))
+            nxt += 3
+    font_num = nxt
+    kids = " ".join(f"{e[0]} 0 R" for e in entries)
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
                .encode())
-    for i, content in enumerate(pages):
-        pnum, cnum = page_nums[i], page_nums[i] + 1
-        objs[pnum] = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
-            f"/Contents {cnum} 0 R /Resources << /Font << /F1 {font_num} 0 R "
-            f">> >> >>").encode()
-        body = zlib.compress(content) if compress else content
-        filt = b"/Filter /FlateDecode " if compress else b""
-        objs[cnum] = (b"<< " + filt + f"/Length {len(body)} >>".encode()
-                      + b"\nstream\n" + body + b"\nendstream")
+
+    def stream_obj(body: bytes, extra: str = "") -> bytes:
+        return ((f"<< {extra}/Length {len(body)} >>").encode()
+                + b"\nstream\n" + body + b"\nendstream")
+
+    for page, (pnum, cnum, xnum) in zip(pages, entries):
+        if xnum is None:
+            objs[pnum] = (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox "
+                f"[0 0 {PAGE_W} {PAGE_H}] /Contents {cnum} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+            body = zlib.compress(page) if compress else bytes(page)
+            filt = "/Filter /FlateDecode " if compress else ""
+            objs[cnum] = stream_obj(body, filt)
+        else:
+            h, w = page.shape
+            objs[pnum] = (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox "
+                f"[0 0 {PAGE_W} {PAGE_H}] /Contents {cnum} 0 R "
+                f"/Resources << /XObject << /Im0 {xnum} 0 R >> >> >>"
+            ).encode()
+            # paint the scan across the page; the extractor reads the
+            # raster pixels directly, the cm matrix is presentation-only
+            ops = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode("latin-1")
+            objs[cnum] = stream_obj(ops)
+            objs[xnum] = stream_obj(
+                zlib.compress(page.tobytes()),
+                f"/Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                f"/Filter /FlateDecode ")
     objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     out = bytearray(b"%PDF-1.4\n")

@@ -942,16 +942,25 @@ def _image_truth_values() -> tuple[str, str]:
     PLAN geometry (fixtures/gen.image_expectations) — placement arithmetic
     only, independent of the detection pipeline the Spark side runs
     (PNG decode -> deskew -> connected components -> QR decode / P7)."""
-    from ..fixtures.gen import image_expectations
+    from ..fixtures.gen import image_expectations, pdf_expectations
     qr_rows, sig_rows = [], []
-    for e in image_expectations("tiny"):
-        if e["qr_payload"] is not None:
+
+    def add(url, meta):
+        if meta["qr_payload"] is not None:
             qr_rows.append("('%s', '%s', 'QRLITE')"
-                           % (e["url"], e["qr_payload"]))
-        if e["sig_span"] is not None:
-            x0, y0, x1, y1 = e["sig_span"]
+                           % (url, meta["qr_payload"]))
+        if meta["sig_span"] is not None:
+            x0, y0, x1, y1 = meta["sig_span"]
             sig_rows.append("('%s', %r, %r, %r, %r)"
-                            % (e["url"], x0, y0, x1, y1))
+                            % (url, x0, y0, x1, y1))
+
+    for e in image_expectations("tiny"):
+        add(e["url"], e)
+    # scanned pages INSIDE pdfs emit the same qr/signature spans (the
+    # OCR-fallback route, core/pdf_extract._ocr_scanned_page)
+    for e in pdf_expectations("tiny"):
+        for meta in e["scan_metas"]:
+            add(e["url"], meta)
     qr_sql = ("SELECT * FROM (VALUES %s) AS t(url, data, type)"
               % ", ".join(qr_rows))
     sig_sql = ("SELECT url, CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) "
@@ -978,6 +987,39 @@ def qr_extract(spark, sf_dir):
             .filter(F.col("s.kind") == "qr")
             .select("url", F.col("s.text").alias("data"),
                     F.lit("QRLITE").alias("type")))
+
+
+def _pdf_scan_truth_sql() -> str:
+    """VALUES oracle for the scanned-PDF OCR fallback: (url, full
+    extracted text) of every tiny pdf row that contains >= 1 scanned
+    page, from the generator's PLAN (planted glyph lines), never from
+    the extraction pipeline."""
+    from ..fixtures.gen import pdf_expectations
+    rows = []
+    for e in pdf_expectations("tiny"):
+        if e["n_scan_pages"]:
+            txt = e["expected_text"].replace("'", "''")
+            rows.append("('%s', '%s')" % (e["url"], txt))
+    return ("SELECT * FROM (VALUES %s) AS t(url, extracted_text)"
+            % ", ".join(rows))
+
+
+@q("pdf_scan_ocr", _pdf_scan_truth_sql())
+def pdf_scan_ocr(spark, sf_dir):
+    """S4 completion (scanned/raster PDFs): the reference OCRs every pdf
+    by rasterizing it (/root/reference/src/api/v1/routers/ocr.py:64-67,
+    docTR ``DocumentFile.from_pdf``); this engine detects image-XObject
+    pages and routes their rasters through the glyph-OCR kernel
+    (core/pdf_extract._ocr_scanned_page), incl. rotated / flipped /
+    keystoned captures.  Oracle = the generator's planted page lines, so
+    the whole decode -> rectify -> orient -> deskew -> OCR chain must be
+    byte-exact inside the pdf route too."""
+    from ..fixtures.gen import pdf_expectations
+    scanned = [e["url"] for e in pdf_expectations("tiny")
+               if e["n_scan_pages"]]
+    ext = extract_pipeline(synthetic_pages(spark, "tiny"))
+    return (ext.filter(F.col("url").isin(scanned))
+            .select("url", "extracted_text"))
 
 
 @q("signature_spans", _SIG_TRUTH_SQL)
