@@ -1847,6 +1847,7 @@ def corpus_sample(spark, sf_dir):
 
 
 _SS_L = 15      # substring-dedup window length (tokens), stride 1
+_SS_STRIDE = 4  # anchor stride of the corpus-scale strided variant
 
 
 @q("substring_dedup", f"""
@@ -1881,8 +1882,9 @@ def substring_dedup(spark, sf_dir):
     (transform over an index sequence — no self-join), the only
     shuffles are the per-gram first-occurrence window and the per-doc
     rollup.  Stride 1 multiplies rows by ~tokens-per-doc; at corpus
-    scale the published recipe strides/samples anchors — the plan shape
-    is unchanged, only the sequence step widens."""
+    scale use ``substring_dedup_strided`` (anchor stride
+    {_SS_STRIDE}) — same plan shape, gram table cut by the stride
+    factor."""
     d = _tw(spark, sf_dir, "documents").filter(F.col("doc_id") < 120) \
         .select("doc_id", "text") \
         .withColumn("t", textstats.tokens_col(F.col("text"))) \
@@ -1895,6 +1897,60 @@ def substring_dedup(spark, sf_dir):
                 F.slice("t", p, _SS_L), " "))))
          .alias("p0", "g")).select(
         "doc_id", (F.col("p0") + 1).alias("p"), "g")
+    w = Window.partitionBy("g").orderBy("doc_id", "p")
+    marked = grams.withColumn("rn", F.row_number().over(w))
+    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_windows"),
+                 dup.alias("n_dup_windows"),
+                 F.round(dup.cast("double") / F.count("*"), 4)
+                  .alias("dup_share")))
+
+
+@q("substring_dedup_strided", f"""
+    WITH toks AS (
+      SELECT doc_id, {textstats.tokens_sql('text')} AS t
+      FROM documents WHERE doc_id < 120),
+    grams AS (
+      SELECT doc_id, CAST(p AS INTEGER) AS p,
+             md5(array_to_string(list_slice(t, p, p + {_SS_L} - 1), ' '))
+               AS g
+      FROM toks, LATERAL unnest(generate_series(
+               1, len(t) - {_SS_L} + 1, {_SS_STRIDE})) AS u(p)
+      WHERE len(t) >= {_SS_L}),
+    marked AS (
+      SELECT doc_id, p,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+      FROM grams)
+    SELECT doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS dup_share
+    FROM marked GROUP BY doc_id""")
+def substring_dedup_strided(spark, sf_dir):
+    """Anchor-strided exact-substring dedup — the corpus-scale mode of
+    the Lee et al. recipe: only every {_SS_STRIDE}-th window position is
+    fingerprinted, cutting the gram table by the stride factor while two
+    documents sharing a long duplicated passage still collide on the
+    anchors inside it (a duplicated run of length >= L + stride - 1
+    contains at least one anchor of each document at the same gram).
+    Plan shape is IDENTICAL to stride-1 ``substring_dedup`` — per-row
+    HOF window build, no self-join — only the sequence step widens."""
+    d = _tw(spark, sf_dir, "documents").filter(F.col("doc_id") < 120) \
+        .select("doc_id", "text") \
+        .withColumn("t", textstats.tokens_col(F.col("text"))) \
+        .filter(F.size("t") >= _SS_L)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - _SS_L + 1,
+                       F.lit(_SS_STRIDE)),
+            lambda p: F.md5(F.array_join(
+                F.slice("t", p, _SS_L), " "))))
+         .alias("p0", "g")).select(
+        "doc_id", (F.col("p0") * _SS_STRIDE + 1).alias("p"), "g")
     w = Window.partitionBy("g").orderBy("doc_id", "p")
     marked = grams.withColumn("rn", F.row_number().over(w))
     dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
@@ -1929,9 +1985,12 @@ def substring_dedup(spark, sf_dir):
 def tfidf_topterms(spark, sf_dir):
     """Per-document top-3 rarest terms by IDF (the tf-idf keyword family
     over the distinct-term incidence): document frequency from one
-    groupBy(term) with map-side partial agg, idf joined back (at corpus
-    scale the df table for frequent terms is small enough to broadcast;
-    here the join key co-partitions), per-doc top-k via row_number with
+    groupBy(term) with map-side partial agg, idf joined back via a
+    BROADCAST hash join — the df table is bounded by the vocabulary (not
+    the corpus), and a shuffled equi-join on `term` would skew on
+    exactly the hottest keys (stopwords have the highest df); the
+    broadcast removes that shuffle entirely (plan-shape guard in
+    tests/test_plan_shapes.py).  Per-doc top-k via row_number with
     WindowGroupLimit pushdown — no global sort."""
     toks = (_tw(spark, sf_dir, "documents")
             .select("doc_id",
@@ -1941,7 +2000,7 @@ def tfidf_topterms(spark, sf_dir):
     # driver-side action inside the plan builder
     n_docs = toks.agg(F.count_distinct("doc_id").alias("n"))
     df = toks.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (toks.join(df, "term")
+    scored = (toks.join(F.broadcast(df), "term")
               .crossJoin(F.broadcast(n_docs))
               .withColumn("idf", F.round(
                   F.log(F.col("n").cast("double") / F.col("df")), 6)))

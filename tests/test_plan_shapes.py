@@ -115,6 +115,15 @@ def test_round3_operators_plan_shapes(spark, sf_dir):
     assert "Join" not in sub            # windows + aggregates only
     assert "BatchEvalPython" not in sub
 
+    # the strided corpus-scale variant keeps the identical no-join shape
+    subs = _plan(QUERIES["substring_dedup_strided"](spark, sf_dir))
+    assert "Join" not in subs
+    assert "BatchEvalPython" not in subs
+
     tf = _plan(QUERIES["tfidf_topterms"](spark, sf_dir))
     assert "WindowGroupLimit" in tf
     assert "BatchEvalPython" not in tf
+    # the df(term) join must be a broadcast: a shuffled equi-join on
+    # `term` skews on exactly the hottest keys (stopwords)
+    assert "BroadcastHashJoin" in tf
+    assert "SortMergeJoin" not in tf
