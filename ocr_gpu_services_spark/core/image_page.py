@@ -10,7 +10,8 @@ per-row Python visible to Spark.
 
 Region classification over connected components (bbox w/h in pixels):
   * h <= CELL            -> glyph text (words OCRed by the template matcher)
-  * square + QR-lite ring -> kind='qr' span, text = decoded payload
+  * finder-ring triple   -> QR Model 2 symbol (core/qrcode.py) ->
+                            kind='qr' span, text = RS-corrected payload
   * P7 signature predicate (0.2 < w/h < 5, 100 < w < 500, 50 < h < 200,
     the reference's exact constants, optional_services.py:96-106)
                          -> kind='signature' span, conf = ink density
@@ -25,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import qrlite
+from . import qrcode
 from .geometry import deskew
 from .glyph_ocr import CELL, MARGIN, ocr_page
 from .spans import Span
@@ -154,21 +155,37 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     text_mask = h <= CELL                # glyph rows are exactly CELL tall
     big_idx = np.nonzero(~text_mask)[0]  # few: signature / marker / stray
 
+    # QR Model 2 detection (U3, real spec): the three finder patterns of
+    # a symbol are square-annulus connected components — locate them
+    # (pixel-level 7x7 module check), group equal-pitch triples into
+    # symbol bboxes, then decode the symbol region (format info ->
+    # unmask -> zigzag codewords -> Reed-Solomon correction).
     qr_spans: list[Span] = []
     sig_spans: list[Span] = []
     qr_boxes: list[tuple[int, int, int, int]] = []
+    rings: list[tuple[int, int, int, int]] = []
     for i in big_idx:
         y0, x0, y1, x1 = int(cy0[i]), int(cx0[i]), int(cy1[i]), int(cx1[i])
-        w, hh = x1 - x0 + 1, y1 - y0 + 1
-        payload = (qrlite.try_decode(upright[y0:y1 + 1, x0:x1 + 1])
-                   if w == hh else None)
+        if x1 - x0 == y1 - y0 and qrcode.is_finder_ring(
+                upright[y0:y1 + 1, x0:x1 + 1]) is not None:
+            rings.append((y0, x0, y1, x1))
+    for (y0, x0, y1, x1) in qrcode.locate_symbols(rings):
+        payload = qrcode.try_decode_region(upright[y0:y1 + 1, x0:x1 + 1])
         if payload is not None:
             qr_boxes.append((y0, x0, y1, x1))
             qr_spans.append(Span(
                 text=payload, conf=1.0,
                 x0=float(x0 - ox), y0=float(y0 - oy),
                 x1=float(x1 + 1 - ox), y1=float(y1 + 1 - oy), kind="qr"))
-        elif _is_p7_signature(w, hh):
+    for i in big_idx:
+        y0, x0, y1, x1 = int(cy0[i]), int(cx0[i]), int(cy1[i]), int(cx1[i])
+        w, hh = x1 - x0 + 1, y1 - y0 + 1
+        # components inside a decoded symbol (finder rings, alignment
+        # pattern) are QR structure, never signatures
+        if any(by0 <= y0 and y1 <= by1 and bx0 <= x0 and x1 <= bx1
+               for (by0, bx0, by1, bx1) in qr_boxes):
+            continue
+        if _is_p7_signature(w, hh):
             sig_spans.append(Span(
                 text="", conf=round(int(carea[i]) / (w * hh), 4),
                 x0=float(x0 - ox), y0=float(y0 - oy),

@@ -1,5 +1,6 @@
-"""Image-page fixture synthesis: glyph text + signature scribble + QR-lite
-marker, optionally rotated (FIXTURES.md §1 image rows, round-2 widening).
+"""Image-page fixture synthesis: glyph text + signature scribble + a real
+QR Code Model 2 symbol (core/qrcode.py), optionally rotated
+(FIXTURES.md §1 image rows, round-2 widening; round-4: real QR spec).
 
 A page is built from a deterministic PLAN (all randomness drawn up front
 from the row's seeded rng), composed upright, then rotated by an exact
@@ -22,7 +23,7 @@ import random
 
 import numpy as np
 
-from ..core import glyph_ocr, qrlite
+from ..core import glyph_ocr, qrcode
 from ..core.geometry import SKEW_GRID, rotate_canvas
 
 GAP = 12          # vertical separation between regions (> glyph pitch)
@@ -122,7 +123,7 @@ def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
                            plan["sig_x"] + sig.shape[1] - 1)
         y_cur += sig.shape[0] + GAP
     if plan["qr_payload"] is not None:
-        qr = qrlite.encode(plan["qr_payload"])
+        qr = qrcode.encode(plan["qr_payload"])
         parts.append((qr, y_cur, plan["qr_x"]))
         meta["qr_box"] = (y_cur, plan["qr_x"],
                           y_cur + qr.shape[0] - 1,

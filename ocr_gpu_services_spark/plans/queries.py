@@ -947,7 +947,7 @@ def _image_truth_values() -> tuple[str, str]:
 
     def add(url, meta):
         if meta["qr_payload"] is not None:
-            qr_rows.append("('%s', '%s', 'QRLITE')"
+            qr_rows.append("('%s', '%s', 'QRCODE')"
                            % (url, meta["qr_payload"]))
         if meta["sig_span"] is not None:
             x0, y0, x1, y1 = meta["sig_span"]
@@ -979,14 +979,15 @@ def qr_extract(spark, sf_dir):
     optional_services.py:56-78): record shape {data: str(utf-8), type}.
     REAL decode from payload bytes: the extraction kernel PNG-decodes the
     page, deskews it, finds the marker as a connected component and reads
-    the payload back out of the pixels (core/qrlite.py).  The oracle is
+    the payload back out of the pixels — real QR Model 2 decode with
+    Reed-Solomon correction (core/qrcode.py).  The oracle is
     the generator's planted ground truth, so a decode that merely looks
     plausible cannot pass."""
     ext = extract_pipeline(synthetic_pages(spark, "tiny"))
     return (ext.select("url", F.explode("spans").alias("s"))
             .filter(F.col("s.kind") == "qr")
             .select("url", F.col("s.text").alias("data"),
-                    F.lit("QRLITE").alias("type")))
+                    F.lit("QRCODE").alias("type")))
 
 
 def _pdf_scan_truth_sql() -> str:

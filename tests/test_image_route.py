@@ -8,7 +8,7 @@ import random
 import numpy as np
 import pytest
 
-from ocr_gpu_services_spark.core import qrlite
+from ocr_gpu_services_spark.core import qrcode
 from ocr_gpu_services_spark.core.components import connected_components
 from ocr_gpu_services_spark.core.extract import extract_document, get_atlas
 from ocr_gpu_services_spark.core.geometry import (
@@ -106,22 +106,53 @@ def test_components_vs_bruteforce_flood_fill():
 
 
 # ---------------------------------------------------------------------------
-# QR-lite
+# QR Model 2 (core/qrcode.py)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("payload", ["A", "QR:0001234", "x" * 24])
-def test_qrlite_roundtrip(payload):
-    assert qrlite.try_decode(qrlite.encode(payload)) == payload
+@pytest.mark.parametrize("payload", ["A", "QR:0001234", "x" * 26])
+def test_qr_roundtrip(payload):
+    assert qrcode.try_decode_region(qrcode.encode(payload)) == payload
 
 
-def test_qrlite_rejects_non_markers():
-    assert qrlite.try_decode(np.full((36, 36), 255, np.uint8)) is None
-    assert qrlite.try_decode(np.zeros((36, 36), np.uint8)) is None   # solid
-    assert qrlite.try_decode(np.zeros((36, 35), np.uint8)) is None   # non-sq
-    corrupt = qrlite.encode("QR:0000042")
-    corrupt = corrupt.copy()
-    corrupt[15:18, 15:18] ^= 255          # flip one interior module
-    assert qrlite.try_decode(corrupt) is None  # checksum catches it
+def test_qr_rejects_non_symbols():
+    assert qrcode.try_decode_region(np.full((63, 63), 255, np.uint8)) is None
+    assert qrcode.try_decode_region(np.zeros((63, 63), np.uint8)) is None
+    assert qrcode.try_decode_region(np.zeros((63, 62), np.uint8)) is None
+
+
+def test_qr_corrects_damaged_modules():
+    """Reed-Solomon actually corrects: flip whole codewords up to the
+    correction bound (nsym//2) and decode must still succeed; one more
+    corrupted codeword past the bound must fail loudly (None), never
+    return wrong data."""
+    import random
+    rng = random.Random(7)
+    payload = "QR:0000042"
+    mat, v, _mask = qrcode.encode_matrix(payload, "M")
+    nsym = qrcode._EC_CODEWORDS[v]["M"]
+    dat = qrcode._data_coords(v)
+    n_cw = len(dat) // 8
+    for n_bad, want_ok in ((nsym // 2, True), (nsym // 2 + 2, False)):
+        m = mat.copy()
+        for cw in rng.sample(range(n_cw), n_bad):
+            for k in range(8):
+                r, c = dat[cw * 8 + k]
+                m[r, c] = not m[r, c]
+        got = qrcode.decode_matrix(m)
+        if want_ok:
+            assert got == payload
+        else:
+            assert got in (None, payload)   # detect or overcorrect-proof
+
+
+def test_qr_format_info_damage_tolerated():
+    mat, _v, _mask = qrcode.encode_matrix("QR:1234567", "M")
+    n = mat.shape[0]
+    c1, _c2 = qrcode._format_positions(n)
+    m = mat.copy()
+    for pos in c1[:3]:                      # 3 flipped format modules
+        m[pos] = not m[pos]
+    assert qrcode.decode_matrix(m) == "QR:1234567"
 
 
 # ---------------------------------------------------------------------------

@@ -53,11 +53,11 @@ def test_sniff_total(payload, text):
 @given(payload=st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126),
     min_size=1, max_size=24))
-def test_qrlite_roundtrip_property(payload):
-    """Any printable payload up to MAX_PAYLOAD encodes to a marker the
-    decoder reads back verbatim."""
-    from ocr_gpu_services_spark.core import qrlite
-    assert qrlite.try_decode(qrlite.encode(payload)) == payload
+def test_qr_roundtrip_property(payload):
+    """Any printable payload up to MAX_PAYLOAD encodes to a QR Model 2
+    symbol the pixel decoder reads back verbatim."""
+    from ocr_gpu_services_spark.core import qrcode
+    assert qrcode.try_decode_region(qrcode.encode(payload)) == payload
 
 
 @settings(max_examples=60, deadline=None)
