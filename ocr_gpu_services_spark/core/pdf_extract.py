@@ -8,8 +8,16 @@ reserves OCR for raster payloads — same output contract (text + spans), far
 cheaper.  The subset implemented is the standard text-showing machinery:
 
 * object parsing (``N 0 obj … endobj``), Flate and raw streams
+* OBJECT STREAMS (/Type /ObjStm, PDF 1.5 xref-stream files): compressed
+  containers of bare objects are expanded into the object table, so
+  files whose page tree lives inside an ObjStm (the modern default)
+  parse identically; the xref/XRef stream itself is never needed (the
+  object scan is exhaustive)
 * page tree traversal (Catalog -> Pages /Kids order = page order)
 * content-stream tokens: BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, TJ, ``'``
+* literal AND hex ``<...>`` strings
+* CID (Type0) fonts: Tf tracks the font name, 2-byte CID strings are
+  mapped through the font's /ToUnicode CMap (bfchar + bfrange)
 * text matrix: translation composition (Td/TD/T*/Tm)
 * TJ kerning: adjustment < -THRESH_TJ_SPACE inserts a word gap
 * line grouping: y-cluster (tolerance 2.0 pt), reading order by descending y
@@ -68,8 +76,31 @@ class _Run:
     seq: int
 
 
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_INT_RE = re.compile(rb"\d+")
+
+
 def _parse_objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    # expand object streams: N (objnum, offset) header pairs, then bare
+    # object bodies at offsets relative to /First
+    for body in [b for b in objs.values() if _OBJSTM_RE.search(b)]:
+        raw = _object_stream(body)
+        nm = _OBJSTM_N_RE.search(body)
+        fm = _OBJSTM_FIRST_RE.search(body)
+        if raw is None or not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = [int(x.group()) for x in
+                  _INT_RE.finditer(raw[:first])][:2 * n]
+        pairs = list(zip(header[0::2], header[1::2]))
+        for k, (num, off) in enumerate(pairs):
+            end = (first + pairs[k + 1][1] if k + 1 < len(pairs)
+                   else len(raw))
+            objs.setdefault(num, raw[first + off:end])
+    return objs
 
 
 def _object_stream(body: bytes) -> bytes | None:
@@ -155,7 +186,8 @@ _TOK_RE = re.compile(
     rb"|(?P<name>/[^\s()<>\[\]{}/%]*)"
     rb"|(?P<op>[A-Za-z'\"*]+)"
     rb"|(?P<lp>\()"
-    rb"|(?P<lb>\[)")
+    rb"|(?P<lb>\[)"
+    rb"|(?P<lh><(?!<))")
 
 # a run of string bytes containing no unescaped backslash or paren
 _STR_CHUNK = re.compile(rb"(?:\\.|[^\\()])*", re.DOTALL)
@@ -186,6 +218,19 @@ def _tokenize(stream: bytes):
             yield ("name", m.group())
         elif kind == "op":
             yield ("op", m.group())
+        elif kind == "lh":
+            # hex string <48656C6C6F>; whitespace allowed, odd length
+            # implies a trailing 0 nibble (spec 7.3.4.3)
+            j = stream.find(b">", i)
+            if j < 0:
+                j = n
+            hx = bytes(c for c in stream[i:j]
+                       if c in b"0123456789abcdefABCDEF")
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode("ascii"))
+                   .decode("latin-1"))
+            i = j + 1
         elif kind == "lp":
             j, depth = i, 1
             while j < n and depth:
@@ -231,7 +276,57 @@ def _tokenize(stream: bytes):
             i = j
 
 
-def _runs_from_stream(stream: bytes, seq0: int) -> list[_Run]:
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(raw: bytes) -> dict[int, str]:
+    """/ToUnicode CMap -> {cid: unicode string} (bfchar + bfrange)."""
+    cmap: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(raw):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = (bytes.fromhex(dst.decode("ascii"))
+                                  .decode("utf-16-be"))
+    for m in _BFRANGE_RE.finditer(raw):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for lo, hi, dst in zip(toks[0::3], toks[1::3], toks[2::3]):
+            base = int(dst, 16)
+            for k in range(int(hi, 16) - int(lo, 16) + 1):
+                cmap[int(lo, 16) + k] = chr(base + k)
+    return cmap
+
+
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_NAME_REF_RE = re.compile(rb"(/[^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+
+
+def _page_fonts(body: bytes, objs: dict[int, bytes]
+                ) -> dict[bytes, dict[int, str] | None]:
+    """Page font resources: {/name: cid->unicode map | None (simple)}."""
+    fonts: dict[bytes, dict[int, str] | None] = {}
+    fd = _FONT_DICT_RE.search(body)
+    if fd is None:
+        return fonts
+    for m in _NAME_REF_RE.finditer(fd.group(1)):
+        fbody = objs.get(int(m.group(2)))
+        cmap = None
+        if fbody is not None and _TYPE0_RE.search(fbody):
+            tm = _TOUNI_RE.search(fbody)
+            if tm:
+                raw = _object_stream(objs.get(int(tm.group(1)), b""))
+                if raw:
+                    cmap = _parse_tounicode(raw)
+        fonts[m.group(1)] = cmap
+    return fonts
+
+
+def _runs_from_stream(stream: bytes, seq0: int,
+                      fonts: dict[bytes, dict[int, str] | None]
+                      | None = None) -> list[_Run]:
     runs: list[_Run] = []
     stack: list = []
     size = 12.0
@@ -240,6 +335,16 @@ def _runs_from_stream(stream: bytes, seq0: int) -> list[_Run]:
     cx = cy = 0.0       # current point
     seq = seq0
     in_text = False
+    cid_map: dict[int, str] | None = None   # current font's CID->unicode
+
+    def dec(s: str) -> str:
+        """Map a string operand through the current font: CID fonts use
+        2-byte codes (latin-1 is byte-transparent here)."""
+        if cid_map is None:
+            return s
+        raw = s.encode("latin-1")
+        return "".join(cid_map.get((raw[k] << 8) | raw[k + 1], "")
+                       for k in range(0, len(raw) - 1, 2))
 
     def emit(text: str):
         nonlocal seq, cx
@@ -261,6 +366,8 @@ def _runs_from_stream(stream: bytes, seq0: int) -> list[_Run]:
             in_text = False
         elif op == b"Tf" and len(stack) >= 1 and stack[-1][0] == "num":
             size = stack[-1][1]
+            if fonts and len(stack) >= 2 and stack[-2][0] == "name":
+                cid_map = fonts.get(stack[-2][1])
         elif op == b"TL" and stack and stack[-1][0] == "num":
             leading = stack[-1][1]
         elif op in (b"Td", b"TD") and len(stack) >= 2:
@@ -280,16 +387,16 @@ def _runs_from_stream(stream: bytes, seq0: int) -> list[_Run]:
             ly -= leading
             cx, cy = lx, ly
         elif op == b"Tj" and stack and stack[-1][0] == "str" and in_text:
-            emit(stack[-1][1])
+            emit(dec(stack[-1][1]))
         elif op == b"'" and stack and stack[-1][0] == "str" and in_text:
             ly -= leading
             cx, cy = lx, ly
-            emit(stack[-1][1])
+            emit(dec(stack[-1][1]))
         elif op == b"TJ" and stack and stack[-1][0] == "arr" and in_text:
             buf = []
             for it, iv in stack[-1][1]:
                 if it == "str":
-                    buf.append(iv)
+                    buf.append(dec(iv))
                 elif it == "num" and iv < -THRESH_TJ_SPACE:
                     buf.append(" ")
             emit("".join(buf))
@@ -422,8 +529,9 @@ def extract_pdf(payload: bytes) -> tuple[str, list[Span]]:
             if s:
                 content_bodies.append(s)
         runs: list[_Run] = []
+        fonts = _page_fonts(body, objs)
         for cb in content_bodies:
-            runs.extend(_runs_from_stream(cb, seq))
+            runs.extend(_runs_from_stream(cb, seq, fonts))
             seq += len(runs)
         if not runs:
             scans = _page_scan_images(body, objs)

@@ -17,14 +17,15 @@ import random
 
 from ..core.png import png_encode
 from . import imagegen
-from .pdf_write import build_pdf, content_stream_ops
+from .pdf_write import (CidPage, build_pdf, content_stream_ops,
+                        content_stream_ops_hex)
 
 SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
           "xbench": 400000}  # scaling-evidence corpus: compute >> fixed costs
 
 # bump whenever generated payload bytes change, so cached bench corpora
 # (bench.py's /tmp parquet cache) are regenerated instead of silently reused
-GEN_VERSION = "r4-scanned-pdf-1"
+GEN_VERSION = "r4-pdf-widening-1"
 
 _WORDS_EN = (
     "pipeline spark batch arrow kernel parquet shuffle partition executor "
@@ -127,9 +128,12 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
                 lines[0] = lines[0] + " " + rng.choice(
                     ["invoice total", "recibo oficial", "agreement draft",
                      ""])
-            pages.append({"kind": "text", "style": rng.randrange(4),
+            pages.append({"kind": "text", "style": rng.randrange(6),
                           "lines": lines})
-    return {"pages": pages, "compress": rng.random() < 0.5}
+    # ~25% are PDF-1.5 files: objects packed in an /ObjStm container
+    # with an XRef stream (the modern writer default)
+    return {"pages": pages, "compress": rng.random() < 0.5,
+            "objstm": rng.random() < 0.25}
 
 
 def _render_pdf(plan: dict) -> bytes:
@@ -145,10 +149,16 @@ def _render_pdf(plan: dict) -> bytes:
                 ops = content_stream_ops(lines, scrambled=True)
             elif style == 2:
                 ops = content_stream_ops(lines, scrambled=True, use_tj=True)
-            else:
+            elif style == 3:
                 ops = content_stream_ops(lines, two_col=True)
+            elif style == 4:
+                ops = content_stream_ops_hex(lines)   # hex <...> Tj
+            else:
+                pages.append(CidPage(lines))          # Type0/CID font
+                continue
             pages.append(ops)
-    return build_pdf(pages, compress=plan["compress"])
+    return build_pdf(pages, compress=plan["compress"],
+                     objstm=plan["objstm"])
 
 
 def _pdf_page(rng: random.Random, i: int) -> bytes:

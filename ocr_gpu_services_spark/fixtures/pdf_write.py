@@ -59,7 +59,72 @@ def content_stream_ops(lines: list[str], *, two_col: bool = False,
     return "\n".join(ops).encode("latin-1")
 
 
-def build_pdf(pages: list, *, compress: bool = False) -> bytes:
+def content_stream_ops_hex(lines: list[str]) -> bytes:
+    """Same top-down placement, text shown as HEX strings <...> Tj."""
+    ops = ["BT", "/F1 12 Tf", "14 TL"]
+    for i, ln in enumerate(lines):
+        ops.append(f"1 0 0 1 50 {742.0 - i * 14.0:.1f} Tm")
+        ops.append("<%s> Tj" % ln.encode("latin-1").hex().upper())
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+class CidPage:
+    """A page whose text is shown through a Type0 (CID) font: 2-byte
+    codes in the content stream, /ToUnicode CMap mapping them back.
+    CIDs are assigned per page (1-based, order of first appearance);
+    the CMap mixes bfchar entries and one bfrange run so both forms
+    are exercised."""
+
+    def __init__(self, lines: list[str]):
+        self.lines = lines
+        chars = sorted({c for ln in lines for c in ln})
+        self.cid_of = {c: i + 1 for i, c in enumerate(chars)}
+
+    def content(self) -> bytes:
+        ops = ["BT", "/F1 12 Tf", "14 TL"]
+        for i, ln in enumerate(self.lines):
+            hexstr = "".join("%04X" % self.cid_of[c] for c in ln)
+            ops.append(f"1 0 0 1 50 {742.0 - i * 14.0:.1f} Tm")
+            ops.append(f"<{hexstr}> Tj")
+        ops.append("ET")
+        return "\n".join(ops).encode("latin-1")
+
+    def tounicode(self) -> bytes:
+        """bfchar for the first half of the charset, one bfrange per
+        contiguous-codepoint run for the rest."""
+        items = sorted(self.cid_of.items(), key=lambda kv: kv[1])
+        half = len(items) // 2
+        out = ["/CIDInit /ProcSet findresource begin",
+               "12 dict begin", "begincmap"]
+        if items[:half]:
+            out.append(f"{len(items[:half])} beginbfchar")
+            for ch, cid in items[:half]:
+                out.append("<%04X> <%04X>" % (cid, ord(ch)))
+            out.append("endbfchar")
+        rest = items[half:]
+        if rest:
+            ranges = []
+            run = [rest[0]]
+            for ch, cid in rest[1:]:
+                pch, pcid = run[-1]
+                if cid == pcid + 1 and ord(ch) == ord(pch) + 1:
+                    run.append((ch, cid))
+                else:
+                    ranges.append(run)
+                    run = [(ch, cid)]
+            ranges.append(run)
+            out.append(f"{len(ranges)} beginbfrange")
+            for run in ranges:
+                out.append("<%04X> <%04X> <%04X>"
+                           % (run[0][1], run[-1][1], ord(run[0][0])))
+            out.append("endbfrange")
+        out += ["endcmap", "end", "end"]
+        return "\n".join(out).encode("latin-1")
+
+
+def build_pdf(pages: list, *, compress: bool = False,
+              objstm: bool = False) -> bytes:
     """Assemble a complete PDF.  Each page is either a content-stream
     ``bytes`` (born-digital text page) or a 2-D uint8 numpy array (a
     SCANNED page: the gray raster becomes a /DeviceGray 8-bit
@@ -69,18 +134,22 @@ def build_pdf(pages: list, *, compress: bool = False) -> bytes:
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     # allocate object numbers: 2 per text page, 3 per scanned page
-    # (page, contents, image xobject), font last
+    # (page, contents, image xobject), 4 per CID page (page, contents,
+    # font, tounicode), shared Type1 font last
     entries = []
     nxt = 3
     for p in pages:
         if isinstance(p, (bytes, bytearray)):
-            entries.append((nxt, nxt + 1, None))
+            entries.append(("text", nxt, nxt + 1, None))
             nxt += 2
+        elif isinstance(p, CidPage):
+            entries.append(("cid", nxt, nxt + 1, (nxt + 2, nxt + 3)))
+            nxt += 4
         else:
-            entries.append((nxt, nxt + 1, nxt + 2))
+            entries.append(("scan", nxt, nxt + 1, nxt + 2))
             nxt += 3
     font_num = nxt
-    kids = " ".join(f"{e[0]} 0 R" for e in entries)
+    kids = " ".join(f"{e[1]} 0 R" for e in entries)
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
                .encode())
@@ -89,34 +158,44 @@ def build_pdf(pages: list, *, compress: bool = False) -> bytes:
         return ((f"<< {extra}/Length {len(body)} >>").encode()
                 + b"\nstream\n" + body + b"\nendstream")
 
-    for page, (pnum, cnum, xnum) in zip(pages, entries):
-        if xnum is None:
-            objs[pnum] = (
-                f"<< /Type /Page /Parent 2 0 R /MediaBox "
+    def page_obj(cnum: int, resources: str) -> bytes:
+        return (f"<< /Type /Page /Parent 2 0 R /MediaBox "
                 f"[0 0 {PAGE_W} {PAGE_H}] /Contents {cnum} 0 R "
-                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
-            ).encode()
+                f"/Resources << {resources} >> >>").encode()
+
+    for page, (pkind, pnum, cnum, extra) in zip(pages, entries):
+        if pkind == "text":
+            objs[pnum] = page_obj(
+                cnum, f"/Font << /F1 {font_num} 0 R >>")
             body = zlib.compress(page) if compress else bytes(page)
             filt = "/Filter /FlateDecode " if compress else ""
             objs[cnum] = stream_obj(body, filt)
+        elif pkind == "cid":
+            fnum, tnum = extra
+            objs[pnum] = page_obj(cnum, f"/Font << /F1 {fnum} 0 R >>")
+            objs[cnum] = stream_obj(page.content())
+            objs[fnum] = (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+                f"/Encoding /Identity-H /ToUnicode {tnum} 0 R >>"
+            ).encode()
+            objs[tnum] = stream_obj(page.tounicode())
         else:
             h, w = page.shape
-            objs[pnum] = (
-                f"<< /Type /Page /Parent 2 0 R /MediaBox "
-                f"[0 0 {PAGE_W} {PAGE_H}] /Contents {cnum} 0 R "
-                f"/Resources << /XObject << /Im0 {xnum} 0 R >> >> >>"
-            ).encode()
+            objs[pnum] = page_obj(
+                cnum, f"/XObject << /Im0 {extra} 0 R >>")
             # paint the scan across the page; the extractor reads the
             # raster pixels directly, the cm matrix is presentation-only
             ops = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode("latin-1")
             objs[cnum] = stream_obj(ops)
-            objs[xnum] = stream_obj(
+            objs[extra] = stream_obj(
                 zlib.compress(page.tobytes()),
                 f"/Type /XObject /Subtype /Image /Width {w} /Height {h} "
                 f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
                 f"/Filter /FlateDecode ")
     objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
+    if objstm:
+        return _assemble_objstm(objs)
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for num in sorted(objs):
@@ -131,4 +210,60 @@ def build_pdf(pages: list, *, compress: bool = False) -> bytes:
         out += f"{off:010d} 00000 {'n' if num in offsets else 'f'} \n".encode()
     out += (f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def _assemble_objstm(objs: dict[int, bytes]) -> bytes:
+    """PDF 1.5 layout: every non-stream object is packed into ONE
+    /Type /ObjStm container; the cross-reference is a /Type /XRef
+    stream (W [1 2 2], type-2 entries pointing into the ObjStm) with
+    the trailer dict inlined — no classic xref table at all."""
+    plain = {n: b for n, b in sorted(objs.items())
+             if b"\nstream\n" not in b}
+    streams = {n: b for n, b in objs.items() if n not in plain}
+    objstm_num = max(objs) + 1
+    xref_num = objstm_num + 1
+
+    header, bodies, off = [], [], 0
+    for n, b in plain.items():
+        header.append(f"{n} {off}")
+        bodies.append(b)
+        off += len(b) + 1
+    content = (" ".join(header) + "\n").encode()
+    first = len(content)
+    content += b"\n".join(bodies) + b"\n"
+    objstm_body = ((f"<< /Type /ObjStm /N {len(plain)} /First {first} "
+                    f"/Filter /FlateDecode /Length %d >>\nstream\n")
+                   .encode() % len(zlib.compress(content))
+                   + zlib.compress(content) + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num, body in sorted(streams.items()):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += f"{objstm_num} 0 obj\n".encode() + objstm_body + b"\nendobj\n"
+
+    # XRef stream: entry per object 0..xref_num  (W = [1 4 2]; 4-byte
+    # offsets — scanned-page XObjects push offsets past 64 KiB)
+    xref_pos = len(out)
+    rows = bytearray()
+    idx_of = {n: i for i, n in enumerate(plain)}
+    for num in range(xref_num + 1):
+        if num == 0:
+            t, a, b = 0, 0, 65535
+        elif num in idx_of:
+            t, a, b = 2, objstm_num, idx_of[num]
+        elif num in offsets:
+            t, a, b = 1, offsets[num], 0
+        else:
+            t, a, b = 0, 0, 0
+        rows += bytes([t]) + a.to_bytes(4, "big") + b.to_bytes(2, "big")
+    comp = zlib.compress(bytes(rows))
+    out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} "
+            f"/W [1 4 2] /Root 1 0 R /Filter /FlateDecode "
+            f"/Length {len(comp)} >>\nstream\n").encode()
+    out += comp + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)

@@ -65,6 +65,40 @@ def test_scanned_page_emits_qr_and_signature_spans():
     assert (sig.x0, sig.y0, sig.x1, sig.y1) == meta["sig_span"]
 
 
+def test_hex_string_page():
+    from ocr_gpu_services_spark.fixtures.pdf_write import \
+        content_stream_ops_hex
+    ops = content_stream_ops_hex(["hex line one", "hex line two"])
+    text, spans = extract_pdf(build_pdf([ops]))
+    assert text == "hex line one\nhex line two"
+
+
+def test_cid_font_page_via_tounicode():
+    from ocr_gpu_services_spark.fixtures.pdf_write import CidPage
+    lines = ["cid mapped text", "segunda línea"]
+    text, spans = extract_pdf(build_pdf([CidPage(lines)]))
+    assert text == canonical_text("cid mapped text\nsegunda línea")
+
+
+def test_objstm_xref_stream_layout():
+    """PDF 1.5: page tree and font objects live inside an /ObjStm
+    container referenced by an XRef stream — the object-table expansion
+    must surface them; mixing a CID page and a scanned page exercises
+    streams staying outside the container."""
+    from ocr_gpu_services_spark.fixtures.pdf_write import CidPage
+    img, _ = _scan_img(["SCAN IN OBJSTM"])
+    digital = content_stream_ops(["plain page first line",
+                                  "plain page second line"])
+    pdf = build_pdf([digital, CidPage(["cid in objstm"]), img],
+                    objstm=True)
+    assert pdf.startswith(b"%PDF-1.5")
+    assert b"/ObjStm" in pdf and b"/Type /XRef" in pdf
+    assert b"trailer" not in pdf             # no classic xref table
+    text, spans = extract_pdf(pdf)
+    assert text == ("plain page first line\nplain page second line\n\n"
+                    "cid in objstm\n\nSCAN IN OBJSTM")
+
+
 def test_textless_pdf_without_image_yields_empty():
     # no runs, no XObject -> no OCR route, empty text (not an error)
     text, spans = extract_pdf(build_pdf([content_stream_ops([])]))
