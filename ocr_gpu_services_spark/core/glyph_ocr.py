@@ -139,7 +139,16 @@ def orientation_score(img: np.ndarray, atlas: np.ndarray) -> float:
 
 def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
              ) -> tuple[str, list[Span]]:
-    """Locate the glyph grid, batch-match every cell, emit text + word spans."""
+    """Locate the glyph grid, batch-match every cell, emit text + spans.
+
+    DUAL-ENGINE record families (the reference exposes two OCR engines
+    with different record shapes): per-WORD spans with per-word
+    confidence — docTR's word records
+    (/root/reference/src/infrastructure/services/optional_services.py:33-42)
+    — followed by per-LINE spans whose confidence is the mean of the
+    line's word confidences — PaddleOCR's line records
+    (/root/reference/src/infrastructure/services/ocr_service.py:26-36).
+    Both families carry independent confidences over the same pixels."""
     ink = img < 128
     ys, xs = np.nonzero(ink)
     if ys.size == 0:
@@ -185,6 +194,7 @@ def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
     # are already False in nonspace (blank cells decode to " ")
     d = np.diff(nonspace.astype(np.int8), axis=1)
     spans: list[Span] = []
+    line_spans: list[Span] = []
     for r in range(n_rows):
         starts = list(np.nonzero(d[r] == 1)[0] + 1)
         ends = list(np.nonzero(d[r] == -1)[0] + 1)
@@ -193,12 +203,22 @@ def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
         if nonspace[r, -1]:
             ends.append(n_cols)
         line = lines[r]
+        row_words: list[Span] = []
         for start, c in zip(starts, ends):
-            spans.append(Span(
+            row_words.append(Span(
                 text=line[start:c],
                 conf=float(conf2[r, start:c].mean()),
                 x0=float(x0 + start * CELL), y0=float(y0 + r * PITCH_Y),
                 x1=float(x0 + c * CELL), y1=float(y0 + r * PITCH_Y + CELL),
                 kind="word",
             ))
-    return canonical_text("\n".join(lines)), spans
+        spans.extend(row_words)
+        if row_words:
+            line_spans.append(Span(
+                text=line[starts[0]:ends[-1]],
+                conf=float(np.mean([w.conf for w in row_words])),
+                x0=row_words[0].x0, y0=row_words[0].y0,
+                x1=row_words[-1].x1, y1=row_words[-1].y1,
+                kind="line",
+            ))
+    return canonical_text("\n".join(lines)), spans + line_spans

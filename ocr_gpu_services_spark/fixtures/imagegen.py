@@ -195,4 +195,35 @@ def canonical_meta(plan: dict) -> dict:
     return {"sig_span": canon(meta["sig_box"]),
             "qr_span": canon(meta["qr_box"]),
             "qr_payload": meta["qr_payload"],
-            "angle": plan["angle"]}
+            "angle": plan["angle"],
+            "line_spans": expected_line_spans(plan),
+            "word_spans": expected_word_spans(plan)}
+
+
+def expected_line_spans(plan: dict) -> list[tuple]:
+    """Ground-truth Paddle-style line records from placement arithmetic
+    alone: the glyph block sits at the page's ink minimum, so in the
+    canonical frame line r occupies y = MARGIN + r*PITCH_Y, x from
+    MARGIN, width len(line)*CELL; clean renders score exactly 1.0."""
+    M, C, P = glyph_ocr.MARGIN, glyph_ocr.CELL, glyph_ocr.PITCH_Y
+    out = []
+    for r, ln in enumerate(plan["lines"]):
+        out.append((ln, 1.0, float(M), float(M + r * P),
+                    float(M + len(ln) * C), float(M + r * P + C)))
+    return out
+
+
+def expected_word_spans(plan: dict) -> list[tuple]:
+    """Ground-truth docTR-style word records (same arithmetic)."""
+    M, C, P = glyph_ocr.MARGIN, glyph_ocr.CELL, glyph_ocr.PITCH_Y
+    out = []
+    for r, ln in enumerate(plan["lines"]):
+        col = 0
+        for w in ln.split(" "):
+            if w:
+                out.append((w, 1.0, float(M + col * C),
+                            float(M + r * P),
+                            float(M + (col + len(w)) * C),
+                            float(M + r * P + C)))
+            col += len(w) + 1
+    return out

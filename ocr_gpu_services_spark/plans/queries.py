@@ -990,6 +990,60 @@ def qr_extract(spark, sf_dir):
                     F.lit("QRCODE").alias("type")))
 
 
+def _ocr_span_truth_sql() -> tuple[str, str]:
+    """(line VALUES sql, word VALUES sql): the dual-engine OCR record
+    families over every tiny image row, from the generator's plan
+    arithmetic (imagegen.expected_line_spans / expected_word_spans)."""
+    from ..fixtures.gen import image_expectations
+    line_rows, word_rows = [], []
+    for e in image_expectations("tiny"):
+        for (txt, conf, x0, y0, x1, y1) in e["line_spans"]:
+            line_rows.append("('%s', '%s', %r, %r, %r, %r, %r)"
+                             % (e["url"], txt, conf, x0, y0, x1, y1))
+        for (txt, conf, x0, y0, x1, y1) in e["word_spans"]:
+            word_rows.append("('%s', '%s', %r, %r, %r, %r, %r)"
+                             % (e["url"], txt, conf, x0, y0, x1, y1))
+    tmpl = ("SELECT url, text, CAST(conf AS DOUBLE) AS conf, "
+            "CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0, "
+            "CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1 "
+            "FROM (VALUES %s) AS t(url, text, conf, x0, y0, x1, y1)")
+    return tmpl % ", ".join(line_rows), tmpl % ", ".join(word_rows)
+
+
+_OCR_LINE_TRUTH_SQL, _OCR_WORD_TRUTH_SQL = _ocr_span_truth_sql()
+
+
+@q("ocr_line_spans", _OCR_LINE_TRUTH_SQL)
+def ocr_line_spans(spark, sf_dir):
+    """Dual-engine OCR records, family 1 — PaddleOCR line records
+    (reference ocr_service.py:26-36: {text, confidence, position} per
+    detected LINE): the glyph-OCR kernel emits kind='line' spans whose
+    confidence is the mean of the member words' confidences.  Oracle =
+    plan placement arithmetic, so text, confidence AND geometry are all
+    hard-gated."""
+    ext = extract_pipeline(synthetic_pages(spark, "tiny"))
+    return (ext.filter(F.col("content_type") == "image")
+            .select("url", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "line")
+            .select("url", F.col("s.text").alias("text"),
+                    F.col("s.conf").alias("conf"),
+                    "s.x0", "s.y0", "s.x1", "s.y1"))
+
+
+@q("ocr_word_spans", _OCR_WORD_TRUTH_SQL)
+def ocr_word_spans(spark, sf_dir):
+    """Dual-engine OCR records, family 2 — docTR word records
+    (reference optional_services.py:33-42: {text, confidence, bbox} per
+    WORD) with independent per-word confidence."""
+    ext = extract_pipeline(synthetic_pages(spark, "tiny"))
+    return (ext.filter(F.col("content_type") == "image")
+            .select("url", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "word")
+            .select("url", F.col("s.text").alias("text"),
+                    F.col("s.conf").alias("conf"),
+                    "s.x0", "s.y0", "s.x1", "s.y1"))
+
+
 def _pdf_scan_truth_sql() -> str:
     """VALUES oracle for the scanned-PDF OCR fallback: (url, full
     extracted text) of every tiny pdf row that contains >= 1 scanned

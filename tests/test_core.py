@@ -146,7 +146,14 @@ def test_glyph_ocr_roundtrip():
     assert text == "\n".join(lines)
     assert [s.text for s in spans[:3]] == ["INVOICE", "123", "DUE"]
     assert all(s.conf == 1.0 for s in spans)
-    assert all(s.kind == "word" for s in spans)
+    # dual-engine families: docTR-style word records + Paddle-style
+    # line records with their own (mean-of-words) confidence
+    words = [s for s in spans if s.kind == "word"]
+    lns = [s for s in spans if s.kind == "line"]
+    assert {s.kind for s in spans} == {"word", "line"}
+    assert [s.text for s in lns] == lines
+    assert len(words) == 8
+    assert lns[0].x0 == words[0].x0 and lns[0].x1 == words[2].x1
 
 
 # --- dispatch + error column ---------------------------------------------------

@@ -25,9 +25,11 @@ def test_scanned_page_ocr_roundtrip():
     text, spans = extract_pdf(pdf)
     assert text == "INVOICE TOTAL 42\nPAID IN FULL"
     kinds = {s.kind for s in spans}
-    assert kinds == {"word"}
-    assert [s.text for s in spans] == ["INVOICE", "TOTAL", "42",
-                                      "PAID", "IN", "FULL"]
+    assert kinds == {"word", "line"}
+    assert [s.text for s in spans if s.kind == "word"] == \
+        ["INVOICE", "TOTAL", "42", "PAID", "IN", "FULL"]
+    assert [s.text for s in spans if s.kind == "line"] == \
+        ["INVOICE TOTAL 42", "PAID IN FULL"]
 
 
 def test_mixed_borndigital_and_scanned_pages():
