@@ -104,19 +104,25 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     s0 = orientation_score(img, atlas)
     settled = s0 == 64.0
     if not settled:
-        # try the remaining rotations lazily, half-turn first when a
-        # glyph-height band exists in place (the common upside-down
-        # case), quarter turns first otherwise.  The quarter turns are
-        # ALWAYS in the candidate list: a quarter-turned page can still
-        # present a glyph-height horizontal band (a 1-char word's column
-        # band, isolated punctuation), so s0 > -1 must not rule them out
-        # — only a perfect 64.0 proves orientation.
-        order = (2, 1, 3) if s0 > -1.0 else (1, 3, 2)
-        for k in order:
-            cand = np.ascontiguousarray(np.rot90(img, k))
+        if s0 > -1.0:
+            # a glyph-height band exists in place but is imperfect: the
+            # common cause is an upside-down scan (a half-turn preserves
+            # band structure), so only the cheap 180 candidate is tried
+            # here — a quarter-turned page that presented a spurious
+            # glyph-height band (a 1-char word's column band) is caught
+            # by the last-resort four-way vote below, not here, so the
+            # hot skewed-page path pays no extra rotations
+            cand = np.ascontiguousarray(np.rot90(img, 2))
             if orientation_score(cand, atlas) == 64.0:
                 img, ink, settled = cand, cand < 128, True
-                break
+        else:
+            # no glyph-height band in place: quarter-turned, text-free,
+            # or heavily skewed — try both quarter turns
+            for k in (1, 3):
+                cand = np.ascontiguousarray(np.rot90(img, k))
+                if orientation_score(cand, atlas) == 64.0:
+                    img, ink, settled = cand, cand < 128, True
+                    break
 
     fast_upright = False
     if settled:
@@ -133,9 +139,22 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
             ink = upright < 128
         up_score = orientation_score(upright, atlas)
         if up_score < 64.0:  # a perfect in-place row can never be beaten
-            flipped = upright[::-1, ::-1]
-            if orientation_score(flipped, atlas) > up_score:
-                upright = np.ascontiguousarray(flipped)
+            # last-resort FOUR-way vote (half-turn first): upside-down
+            # scans settle on k=2 after one extra score exactly as
+            # before; a quarter-turned page that slipped past the band
+            # heuristic reaches the k=1/3 candidates instead of being
+            # OCRed sideways.  rot90 views are scored without a copy;
+            # only the winner is materialized.
+            best_img, best_score = upright, up_score
+            for k in (2, 1, 3):
+                cand = np.rot90(upright, k)
+                s = orientation_score(cand, atlas)
+                if s > best_score:
+                    best_img, best_score = cand, s
+                    if s == 64.0:
+                        break
+            if best_img is not upright:
+                upright = np.ascontiguousarray(best_img)
                 ink = upright < 128
     ys, xs = np.nonzero(ink)
     if ys.size == 0:
