@@ -37,8 +37,8 @@ BENCH_QUERIES = [
     "multimodal_meta", "multimodal_resize", "video_frame_sample", "audio_window_rms",
     "url_canonicalize", "para_dedup", "json_props", "corpus_filter",
     "pii_redact", "repetition_ratio", "domain_stats", "corpus_sample",
-    "substring_dedup", "substring_dedup_strided", "tfidf_topterms",
-    "perplexity_filter", "dup_clusters",
+    "substring_dedup", "substring_dedup_strided", "decontaminate",
+    "dsir_weights", "tfidf_topterms", "perplexity_filter", "dup_clusters",
     "pricing_summary", "top_orders", "join_5way_volume",
     "window_topk", "events_sessionize", "range_join_binned", "asof_join", "hypertable_rollup",
 ]

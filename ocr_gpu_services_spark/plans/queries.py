@@ -2016,6 +2016,123 @@ def substring_dedup_strided(spark, sf_dir):
                   .alias("dup_share")))
 
 
+_DC_L = 8       # decontamination n-gram length (GPT-3 uses 13; the
+                # synthetic docs are shorter, the plan shape is identical)
+
+
+@q("decontaminate", f"""
+    WITH toks AS (
+      SELECT doc_id, {textstats.tokens_sql('text')} AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, p, p + {_DC_L} - 1), ' '))
+               AS g
+      FROM toks, LATERAL unnest(generate_series(
+               1, len(t) - {_DC_L} + 1)) AS u(p)
+      WHERE len(t) >= {_DC_L}),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 3)
+    SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
+    FROM grams g JOIN bench b USING (g)
+    WHERE g.doc_id % 17 <> 3
+    GROUP BY g.doc_id""")
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 Appendix C / PaLM recipe): a
+    training document is contaminated if it shares any {_DC_L}-token
+    n-gram with the held-out benchmark set (here: the deterministic
+    doc_id % 17 == 3 slice standing in for an eval suite).  Plan: grams
+    are built with per-row HOFs (no self-join, same shape as
+    substring_dedup); the benchmark gram set is aggregated and
+    BROADCAST — an eval suite is KBs-to-MBs against a 100 TB training
+    corpus, so the contamination check is a map-side semi-join, zero
+    extra shuffle on the training side beyond the per-doc rollup."""
+    d = (_tw(spark, sf_dir, "documents")
+         .select("doc_id", "text")
+         .withColumn("t", textstats.tokens_col(F.col("text")))
+         .filter(F.size("t") >= _DC_L))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - _DC_L + 1),
+            lambda p: F.md5(F.array_join(
+                F.slice("t", p, _DC_L), " ")))).alias("g"))
+    bench = (grams.filter(F.col("doc_id") % 17 == 3)
+             .select("g").distinct())
+    return (grams.filter(F.col("doc_id") % 17 != 3)
+            .join(F.broadcast(bench), "g")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("g").cast("long").alias("n_hits")))
+
+
+_DSIR_B = 64    # hashed-feature buckets
+_DSIR_H = dedup.h32_sql("t") + f" % {_DSIR_B}"
+
+
+@q("dsir_weights", f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({textstats.tokens_sql('text')}) AS t
+      FROM documents),
+    bk AS (SELECT doc_id, {_DSIR_H} AS b FROM toks),
+    tb AS (SELECT b, count(*) AS ct FROM bk WHERE doc_id % 17 = 3
+           GROUP BY b),
+    tr AS (SELECT b, count(*) AS cr FROM bk WHERE doc_id % 17 <> 3
+           GROUP BY b),
+    w AS (
+      SELECT coalesce(tb.b, tr.b) AS b,
+             CAST(floor(ln(
+               ((coalesce(ct, 0) + 1) /
+                ((SELECT sum(ct) FROM tb) + {_DSIR_B}.0))
+               / ((coalesce(cr, 0) + 1) /
+                  ((SELECT sum(cr) FROM tr) + {_DSIR_B}.0))
+             ) * 1e6) AS BIGINT) AS wi
+      FROM tb FULL JOIN tr ON tb.b = tr.b)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(wi) AS BIGINT) AS logratio_micro
+    FROM bk JOIN w USING (b)
+    WHERE doc_id % 17 <> 3
+    GROUP BY doc_id""")
+def dsir_weights(spark, sf_dir):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed unigram features ({_DSIR_B} buckets), per-doc importance =
+    sum of log(p_target(b)/p_raw(b)) over its tokens, target = the
+    deterministic doc_id % 17 == 3 slice (the same stand-in benchmark
+    as `decontaminate`), Laplace-smoothed.  The log-ratio is quantized
+    to integer micro-nats BEFORE the per-doc sum (floor(x*1e6)) so the
+    reduction is bit-deterministic under any shuffle order — the same
+    trick as the IVF integer partial sums (operators/ann.py).  Plan:
+    two {_DSIR_B}-row bucket aggs define the weight table, which joins
+    the token stream as a BROADCAST; per-doc rollup is the only
+    training-side shuffle."""
+    toks = (_tw(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.explode(textstats.tokens_col(F.col("text")))
+                     .alias("t")))
+    bk = toks.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint")
+         % _DSIR_B).alias("b"))
+    is_bench = F.col("doc_id") % 17 == 3
+    tb = bk.filter(is_bench).groupBy("b").agg(F.count("*").alias("ct"))
+    tr = bk.filter(~is_bench).groupBy("b").agg(F.count("*").alias("cr"))
+    nt = tb.agg(F.sum("ct").alias("nt"))
+    nr = tr.agg(F.sum("cr").alias("nr"))
+    w = (tb.join(tr, "b", "full")
+         .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
+         .select("b", F.floor(F.log(
+             ((F.coalesce("ct", F.lit(0)) + 1)
+              / (F.col("nt") + float(_DSIR_B)))
+             / ((F.coalesce("cr", F.lit(0)) + 1)
+                / (F.col("nr") + float(_DSIR_B)))) * 1e6)
+             .cast("long").alias("wi")))
+    return (bk.filter(~is_bench)
+            .join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("wi").cast("long").alias("logratio_micro")))
+
+
 @q("tfidf_topterms", f"""
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct({textstats.tokens_sql('text')}))
