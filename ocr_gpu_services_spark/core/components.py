@@ -94,20 +94,28 @@ def connected_components_with_runs(ink: np.ndarray):
         pos = np.arange(total) - np.repeat(offs, counts)
         pj = np.repeat(jlo, counts) + pos
         pi = np.repeat(np.arange(n, dtype=np.int64), counts)
-        # min-label propagation with pointer jumping (Shiloach-Vishkin
-        # style); converges in O(log n) vectorized rounds
+        # Shiloach-Vishkin with ROOT hooking: compress to stars, then
+        # hook the larger ROOT of every cross-star edge onto the
+        # smaller.  Hooking roots (not edge endpoints) is what makes
+        # rounds logarithmic: a root survives a round only if it is
+        # smaller than every adjacent star's root, so the root count
+        # at least halves per round.  (The previous member-hook +
+        # compress variant crept one boundary per round on curves with
+        # many id-space local minima — 80 rounds on a sine scribble.)
         while True:
-            new = label.copy()
-            np.minimum.at(new, pi, label[pj])
-            np.minimum.at(new, pj, label[pi])
-            while True:          # full path compression between hook rounds
-                nn = new[new]
-                if np.array_equal(nn, new):
+            while True:          # full path compression -> stars
+                nn = label[label]
+                if np.array_equal(nn, label):
                     break
-                new = nn
-            if np.array_equal(new, label):
+                label = nn
+            ru = label[pi]
+            rv = label[pj]
+            lo = np.minimum(ru, rv)
+            hi = np.maximum(ru, rv)
+            m = lo != hi
+            if not m.any():
                 break
-            label = new
+            np.minimum.at(label, hi[m], lo[m])
 
     # per-component bbox/area via grouped reductions
     uniq, inv = np.unique(label, return_inverse=True)

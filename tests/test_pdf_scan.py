@@ -101,6 +101,58 @@ def test_objstm_xref_stream_layout():
                     "cid in objstm\n\nSCAN IN OBJSTM")
 
 
+def test_malformed_new_shapes_degrade_never_throw():
+    """Real-corpus robustness: truncated/corrupt variants of every new
+    parse path (hex strings, ObjStm, CID/ToUnicode, image XObjects) must
+    come back through extract_document's degrade contract — a value, not
+    an exception — and deterministically."""
+    import random
+    import zlib
+
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.fixtures.pdf_write import CidPage
+    get_atlas()
+
+    img, _ = _scan_img(["SCAN ROW"])
+    payloads = [
+        # unterminated hex string at EOF
+        build_pdf([b"BT /F1 12 Tf <48656C6C" ]),
+        # hex string with junk chars
+        build_pdf([b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <48zz65!> Tj ET"]),
+        # ObjStm whose stream is truncated mid-deflate
+        build_pdf([content_stream_ops(["x"])], objstm=True)[:300],
+        # ObjStm header lies about N
+        build_pdf([content_stream_ops(["ok line"])], objstm=True)
+        .replace(b"/Type /ObjStm /N ", b"/Type /ObjStm /N 9"),
+        # CID page whose ToUnicode stream is cut off
+        None,  # filled below
+        # image XObject with dims larger than its data
+        None,  # filled below
+    ]
+    cid_pdf = build_pdf([CidPage(["cid text line"])])
+    cut = cid_pdf.find(b"beginbfchar")
+    payloads[4] = cid_pdf[:cut + 15]
+    scan_pdf = build_pdf([img])
+    payloads[5] = scan_pdf.replace(b"/Width %d" % img.shape[1],
+                                   b"/Width 99999")
+    rng = random.Random(11)
+    base = build_pdf([content_stream_ops(["a b c"]), CidPage(["d e"]),
+                      img], objstm=True)
+    for _ in range(40):                    # random single-byte mutations
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        payloads.append(bytes(b))
+
+    for i, p in enumerate(payloads):
+        r1 = extract_document(p, None)
+        r2 = extract_document(p, None)
+        assert r1 == r2, f"payload {i} nondeterministic"
+        # degrade contract: tuple came back (no exception escaped)
+        assert isinstance(r1[1], str)
+
+
 def test_textless_pdf_without_image_yields_empty():
     # no runs, no XObject -> no OCR route, empty text (not an error)
     text, spans = extract_pdf(build_pdf([content_stream_ops([])]))
