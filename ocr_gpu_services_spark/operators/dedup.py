@@ -455,7 +455,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
               .select("doc_id", F.least("doc_id", "nb").alias("lab"))
               .localCheckpoint(eager=True))
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # neighbor minimum: my label next round = min(mine, neighbors')
         nbr = (edges.join(labels, edges.a == labels.doc_id)
                .groupBy(F.col("b").alias("doc_id"))
@@ -465,16 +465,27 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
                        F.col("lab").alias("prev_lab"),
                        F.least("lab", F.coalesce("nlab", "lab"))
                         .alias("mlab")))
-        # pointer jump: labels are always node ids with lab(u) <= u, so
-        # following one more hop (label of my label) is still inside the
-        # component and monotonically non-increasing — halves the
-        # remaining distance-to-root every round.
-        hop = mid.select(F.col("doc_id").alias("h_id"),
-                         F.col("mlab").alias("hlab"))
-        new = (mid.join(hop, mid.mlab == hop.h_id, "left")
-               .select("doc_id", "prev_lab",
-                       F.coalesce("hlab", "mlab").alias("lab"))
-               .localCheckpoint(eager=True))
+        if it == 0:
+            # dup graphs are overwhelmingly shallow (cliques / short
+            # chains): the init already propagated one hop, so round 0
+            # usually just CONFIRMS convergence — skip the pointer-jump
+            # self-join and its extra shuffle on the round most
+            # clusters never get past.
+            new = (mid.select("doc_id", "prev_lab",
+                              F.col("mlab").alias("lab"))
+                   .localCheckpoint(eager=True))
+        else:
+            # pointer jump: labels are always node ids with lab(u) <= u,
+            # so following one more hop (label of my label) is still
+            # inside the component and monotonically non-increasing —
+            # halves the remaining distance-to-root every round, making
+            # deep chains O(log diameter) from round 1 on.
+            hop = mid.select(F.col("doc_id").alias("h_id"),
+                             F.col("mlab").alias("hlab"))
+            new = (mid.join(hop, mid.mlab == hop.h_id, "left")
+                   .select("doc_id", "prev_lab",
+                           F.coalesce("hlab", "mlab").alias("lab"))
+                   .localCheckpoint(eager=True))
         # the shuffles ran once in the checkpoint job; the changed-count
         # is a tiny scan of the materialized set — no second
         # labels-vs-labels join.

@@ -246,3 +246,41 @@ def test_extract_document_total_on_adversarial_payloads(seed, kind, size):
     assert isinstance(ct, str) and isinstance(text, str)
     assert isinstance(spans, list)
     assert err is None or isinstance(err, str)
+
+
+_PDF_LINE = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           exclude_characters="\\"),
+    min_size=1, max_size=40).map(lambda s: s.strip()).filter(bool)
+
+
+@settings(max_examples=80, deadline=None)
+@given(lines=st.lists(_PDF_LINE, min_size=1, max_size=8),
+       style=st.integers(0, 5),
+       compress=st.booleans(), objstm=st.booleans())
+def test_pdf_writer_parser_matrix_roundtrip(lines, style, compress, objstm):
+    """Any line set through any emission style (plain/scrambled/TJ/
+    two-col/hex/CID) x any file layout (classic xref / ObjStm+XRef
+    stream, raw / Flate) must extract back to the reading-order lines
+    (whitespace-collapsed) — the writer/parser matrix far beyond the
+    fixed fixture corpus."""
+    from ocr_gpu_services_spark.fixtures.pdf_write import (
+        CidPage, build_pdf, content_stream_ops, content_stream_ops_hex)
+    from ocr_gpu_services_spark.core.pdf_extract import extract_pdf
+
+    if style == 0:
+        page = content_stream_ops(lines)
+    elif style == 1:
+        page = content_stream_ops(lines, scrambled=True)
+    elif style == 2:
+        page = content_stream_ops(lines, scrambled=True, use_tj=True)
+    elif style == 3:
+        page = content_stream_ops(lines, two_col=True)
+    elif style == 4:
+        page = content_stream_ops_hex(lines)
+    else:
+        page = CidPage(lines)
+    pdf = build_pdf([page], compress=compress, objstm=objstm)
+    text, _spans = extract_pdf(pdf)
+    want = canonical_text("\n".join(collapse_ws(ln) for ln in lines))
+    assert text == want
