@@ -18,7 +18,9 @@ and satisfies the north rule's "killed run resumes exactly".
 from __future__ import annotations
 
 import json
+import math
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,9 +40,12 @@ class IcebergLikeTable:
         return {f[:-5] for f in os.listdir(self.manifest_dir)
                 if f.endswith(".json")}
 
-    def _write_manifest(self, part_value: str, rows: int, run_id: str):
+    def _write_manifest(self, part_value: str, rows: int, run_id: str,
+                        files: list[str] | None = None):
         part_dir = os.path.join(self.path, f"{self.partition_col}={part_value}")
-        files = sorted(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        if files is None:
+            files = sorted(f for f in os.listdir(part_dir)
+                           if f.endswith(".parquet"))
         manifest = {
             "partition": f"{self.partition_col}={part_value}",
             "files": [{"name": f,
@@ -102,35 +107,215 @@ class IcebergLikeTable:
                 out.append(json.load(f))
         return sorted(out, key=lambda m: m["committed_at_unix"])
 
+    def _history_dir(self, part_value: str) -> str:
+        return os.path.join(self.manifest_dir, "history", part_value)
+
+    def _expired_records(self) -> list[dict]:
+        p = os.path.join(self.manifest_dir, "expired.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def all_manifests(self) -> list[dict]:
+        """Current manifests PLUS archived (pre-compaction) generations,
+        ascending by commit time."""
+        out = self.manifests()
+        hist_root = os.path.join(self.manifest_dir, "history")
+        if os.path.isdir(hist_root):
+            for part in os.listdir(hist_root):
+                pdir = os.path.join(hist_root, part)
+                for f in os.listdir(pdir):
+                    if f.endswith(".json"):
+                        with open(os.path.join(pdir, f)) as fh:
+                            out.append(json.load(fh))
+        return sorted(out, key=lambda m: m["committed_at_unix"])
+
     def read_as_of(self, spark: SparkSession, as_of_unix: float = None,
                    run_id: str = None) -> DataFrame:
         """Snapshot read (the Iceberg time-travel analogue over the
         manifest layer): only partitions committed at-or-before
         ``as_of_unix`` — or by the given ``run_id`` — are scanned, and
         ONLY through the exact file lists their manifests recorded.
+        Compaction archives the superseded manifest generation and keeps
+        the old data files, so snapshots taken before a compaction stay
+        exactly readable until ``expire_snapshots`` vacuums them.
 
         Scope matches the manifest design honestly: partitions this
         table model has since REWRITTEN (dynamic overwrite replaces the
-        directory) no longer hold their old files, and the read fails
-        loudly on the missing file instead of silently returning the
-        newer data — time travel is exact for the append-mostly crawl
-        pattern the engine targets, never approximate."""
-        sel = [m for m in self.manifests()
-               if (as_of_unix is None or m["committed_at_unix"] <= as_of_unix)
-               and (run_id is None or m["run_id"] == run_id)]
+        directory) or whose old generations were EXPIRED no longer hold
+        their old files, and the read fails loudly on the missing file
+        instead of silently returning the newer data — time travel is
+        exact, never approximate."""
+        cand = [m for m in self.all_manifests()
+                if (as_of_unix is None
+                    or m["committed_at_unix"] <= as_of_unix)
+                and (run_id is None or m["run_id"] == run_id)]
+        latest: dict[str, dict] = {}
+        for m in cand:                       # ascending -> last wins
+            latest[m["partition"]] = m
+        # expiry tombstones: if an EXPIRED generation would have won the
+        # latest-per-partition selection for this snapshot, the snapshot
+        # is unreconstructable — fail loudly, never silently narrow it
+        for e in self._expired_records():
+            hit = ((as_of_unix is None
+                    or e["committed_at_unix"] <= as_of_unix)
+                   and (run_id is None or e["run_id"] == run_id))
+            cur = latest.get(e["partition"])
+            if hit and (cur is None or
+                        cur["committed_at_unix"] < e["committed_at_unix"]):
+                raise ValueError(
+                    f"snapshot expired: generation {e['run_id']} of "
+                    f"{e['partition']} was vacuumed by expire_snapshots")
+        sel = list(latest.values())
         if not sel:
             raise ValueError("no committed partitions match the snapshot")
-        paths, missing = [], []
+        arch_root = os.path.join(self.path, "_archive")
+        paths, arch_paths, missing = [], [], []
         for m in sel:
             for f in m["files"]:
                 p = os.path.join(self.path, m["partition"], f["name"])
-                (paths if os.path.exists(p) else missing).append(p)
+                pa = os.path.join(arch_root, m["partition"], f["name"])
+                if os.path.exists(p):
+                    paths.append(p)
+                elif os.path.exists(pa):     # superseded by a compaction
+                    arch_paths.append(pa)
+                else:
+                    missing.append(p)
         if missing:
             raise FileNotFoundError(
-                f"snapshot files rewritten since commit: {missing[:3]}"
-                f"{' ...' if len(missing) > 3 else ''}")
-        # basePath keeps the Hive partition column in the projected schema
-        return spark.read.option("basePath", self.path).parquet(*paths)
+                f"snapshot files rewritten or expired since commit: "
+                f"{missing[:3]}{' ...' if len(missing) > 3 else ''}")
+        # basePath keeps the Hive partition column in the projected
+        # schema; archived files live under a mirrored Hive layout with
+        # their own basePath (underscore dirs are invisible to plain
+        # directory reads), so a snapshot spanning both unions cleanly
+        parts = []
+        if paths:
+            parts.append(spark.read.option("basePath", self.path)
+                         .parquet(*paths))
+        if arch_paths:
+            parts.append(spark.read.option("basePath", arch_root)
+                         .parquet(*arch_paths))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
+        return df
 
     def total_committed_rows(self) -> int:
         return sum(m["row_count"] for m in self.manifests())
+
+    # -- table maintenance ---------------------------------------------------
+    def compact_partition(self, spark: SparkSession, part_value: str,
+                          run_id: str,
+                          target_bytes: int = 128 << 20) -> dict | None:
+        """Small-file compaction (the Iceberg ``rewrite_data_files``
+        analogue): coalesce a committed partition's files toward
+        ``target_bytes`` each.  At crawl scale every incremental run
+        appends a few small files per day-partition; without compaction
+        a year-old table scans millions of tiny files and the scheduler,
+        not the I/O, becomes the bottleneck.
+
+        Snapshot-safe commit protocol:
+        1. new files are written to a temp dir, then moved into the
+           partition under distinct ``compact-<run_id>-*`` names
+        2. the superseded manifest is archived to
+           ``_manifests/history/<part>/`` (fsync + atomic replace)
+        3. the OLD data files move to ``_archive/<partition>/`` —
+           underscore-prefixed, so plain directory reads see only the
+           compacted files, while read_as_of resolves archived names
+        4. the current manifest is atomically swapped to the new file
+           list — the manifest is the commit point, exactly as in write()
+        A reader holding the old snapshot (read_as_of by time or run_id)
+        keeps resolving the archived generation until
+        ``expire_snapshots`` vacuums it.  A crash mid-protocol leaves
+        either the old manifest (new files orphaned until vacuum; the
+        _archive fallback keeps its file list resolvable) or the new one
+        (archived files awaiting vacuum) — never a broken table.
+        Returns {files_before, files_after, bytes} or None if there is
+        nothing to gain."""
+        cur = os.path.join(self.manifest_dir, f"{part_value}.json")
+        with open(cur) as f:
+            man = json.load(f)
+        part_dir = os.path.join(self.path, man["partition"])
+        files = man["files"]
+        total = sum(fi["bytes"] for fi in files)
+        n_out = max(1, math.ceil(total / target_bytes))
+        if n_out >= len(files):
+            return None
+        src = [os.path.join(part_dir, fi["name"]) for fi in files]
+        tmp = os.path.join(self.path,
+                           f"_tmp_compact_{part_value}_{run_id}")
+        (spark.read.parquet(*src).coalesce(n_out)
+         .write.mode("overwrite").parquet(tmp))
+        new_names = []
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                name = f"compact-{run_id}-{len(new_names):05d}.parquet"
+                os.replace(os.path.join(tmp, f),
+                           os.path.join(part_dir, name))
+                new_names.append(name)
+        shutil.rmtree(tmp)
+        hist = self._history_dir(part_value)
+        os.makedirs(hist, exist_ok=True)
+        htmp = os.path.join(hist, f".{man['run_id']}.json.tmp")
+        with open(htmp, "w") as f:
+            json.dump(man, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(htmp, os.path.join(
+            hist, f"{man['run_id']}.{man['committed_at_unix']}.json"))
+        arch_dir = os.path.join(self.path, "_archive", man["partition"])
+        os.makedirs(arch_dir, exist_ok=True)
+        for fi in files:
+            os.replace(os.path.join(part_dir, fi["name"]),
+                       os.path.join(arch_dir, fi["name"]))
+        self._write_manifest(part_value, man["row_count"], run_id,
+                             files=new_names)
+        return {"files_before": len(files), "files_after": len(new_names),
+                "bytes": total}
+
+    def expire_snapshots(self, before_unix: float) -> dict:
+        """Vacuum (the Iceberg ``expire_snapshots`` analogue): drop
+        archived manifest generations committed before ``before_unix``
+        and delete every data file no surviving manifest references —
+        reclaiming the space compaction deliberately left behind.
+        Single-writer assumption (same as write()): don't vacuum while
+        a write or compaction is in flight.  Returns counts."""
+        keep: set[tuple[str, str]] = set()
+        for m in self.manifests():
+            for fi in m["files"]:
+                keep.add((m["partition"], fi["name"]))
+        dropped_manifests = 0
+        hist_root = os.path.join(self.manifest_dir, "history")
+        if os.path.isdir(hist_root):
+            for part in os.listdir(hist_root):
+                pdir = os.path.join(hist_root, part)
+                for f in list(os.listdir(pdir)):
+                    fp = os.path.join(pdir, f)
+                    with open(fp) as fh:
+                        m = json.load(fh)
+                    if m["committed_at_unix"] < before_unix:
+                        with open(os.path.join(self.manifest_dir,
+                                               "expired.jsonl"), "a") as ef:
+                            ef.write(json.dumps(
+                                {"partition": m["partition"],
+                                 "run_id": m["run_id"],
+                                 "committed_at_unix":
+                                     m["committed_at_unix"]}) + "\n")
+                        os.remove(fp)
+                        dropped_manifests += 1
+                    else:
+                        for fi in m["files"]:
+                            keep.add((m["partition"], fi["name"]))
+        removed_files = 0
+        arch_root = os.path.join(self.path, "_archive")
+        if os.path.isdir(arch_root):
+            for d in os.listdir(arch_root):
+                pdir = os.path.join(arch_root, d)
+                for f in os.listdir(pdir):
+                    if f.endswith(".parquet") and (d, f) not in keep:
+                        os.remove(os.path.join(pdir, f))
+                        removed_files += 1
+        return {"dropped_manifests": dropped_manifests,
+                "removed_files": removed_files}
