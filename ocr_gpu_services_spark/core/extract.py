@@ -68,7 +68,14 @@ def extract_document(payload: bytes | None, text: str | None):
             out_text, spans = extract_pdf(payload)
         elif ct == CT_IMAGE:
             atlas, charset = get_atlas()
-            img = png_decode(payload)
+            # format dispatch at the decode seam (PNG / baseline JPEG —
+            # the reference accepts both upload types); everything past
+            # the pixel array is format-agnostic
+            if payload[:3] == b"\xff\xd8\xff":
+                from .jpeg import jpeg_decode
+                img = jpeg_decode(payload)
+            else:
+                img = png_decode(payload)
             # full image route: deskew -> connected components -> QR decode /
             # signature boxes / glyph OCR (core/image_page.py)
             out_text, spans = process_image_page(img, atlas, charset)

@@ -1,0 +1,335 @@
+"""Baseline JPEG (ITU T.81) grayscale codec, from scratch.
+
+The reference's OCR endpoints accept any PIL-decodable upload — JPEG
+first among them (/root/reference/src/api/v1/routers/ocr.py uploads,
+classification.py:31 ``Image.open``).  Real crawls are JPEG-heavy, so
+S3 (image decode) needs the format; this module implements the public
+baseline subset from the spec: SOI/APP0/DQT/SOF0/DHT/SOS/EOI segments,
+8x8 FDCT/IDCT, zigzag, DC prediction, AC run-length with ZRL/EOB,
+byte stuffing, Annex-K standard Huffman tables (encoder side; the
+decoder builds its tables from the DHT segments, so any baseline
+grayscale stream decodes).
+
+Exactness contract with the page pipeline: the FIXTURE encoder uses an
+all-ones quantization table ("quality 100"), so reconstruction error is
+DCT rounding only (max +-2 gray levels, no Gibbs ringing from zeroed
+coefficients).  Ink (0), paper (255) and scanner-bed gray (176) all
+stay strictly inside their classification bands (<128, >230, between),
+so the ink mask — and therefore connected components, orientation
+votes, OCR glyph matching, QR sampling and signature density — is
+IDENTICAL to the PNG path and extraction stays byte-exact.
+
+Performance honesty: Huffman entropy decode is a sequential bit loop —
+the one place pure Python is genuinely slow (~0.2 s/page).  JPEG rows
+therefore live in the correctness corpus (tiny goldens, registry
+oracle), not the throughput bench mix; a production deployment swaps
+``jpeg_decode`` for a libjpeg binding at this exact seam with no other
+pipeline change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# DCT
+# ---------------------------------------------------------------------------
+
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * \
+            (np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8))
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# Annex K standard luminance Huffman tables: (bits-counts, values)
+_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALUES = list(range(12))
+_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALUES = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _build_codes(counts: list[int], values: list[int]) -> dict[int, tuple]:
+    """symbol -> (code, length) per the spec's canonical assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODES = _build_codes(_DC_COUNTS, _DC_VALUES)
+_AC_CODES = _build_codes(_AC_COUNTS, _AC_VALUES)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, extra-bits value) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)        # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def jpeg_encode(img: np.ndarray, quant: int = 1) -> bytes:
+    """Grayscale baseline JPEG; ``quant`` fills the whole quantization
+    table (1 = the exactness contract above)."""
+    h, w = img.shape
+    q = np.full(64, quant, dtype=np.int32)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1:h, :]         # edge-replicate padding
+    padded[:, w:] = padded[:, w - 1:w]
+    padded -= 128.0
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by:by + 8, bx:bx + 8]
+            coef = _DCT @ block @ _DCT.T
+            zz = np.rint(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat, bits = _magnitude(diff)
+            code, ln = _DC_CODES[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(bits, cat)
+            run = 0
+            last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 \
+                if (zz[1:] != 0).any() else 0
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = _AC_CODES[0xF0]   # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat, bits = _magnitude(v)
+                code, ln = _AC_CODES[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(bits, cat)
+                run = 0
+            if last_nz < 63:
+                code, ln = _AC_CODES[0x00]       # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = bytes([0x00]) + bytes(int(x) & 0xFF for x in q[_np_argsort_id()])
+    out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for tc, counts, values in ((0x00, _DC_COUNTS, _DC_VALUES),
+                               (0x10, _AC_COUNTS, _AC_VALUES)):
+        seg = bytes([tc]) + bytes(counts) + bytes(values)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += bw.buf
+    out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
+def _np_argsort_id():
+    """Quant table is stored in zigzag order; ours is constant so the
+    zigzag of a constant table is itself."""
+    return np.arange(64)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _build_decode_table(counts: list[int], values: list[int]):
+    """(code, length) -> symbol dict plus max length."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        # un-stuff 0xFF00 -> 0xFF up front
+        self.data = data.replace(b"\xff\x00", b"\xff")
+        self.pos = 0          # bit position
+
+    def read_bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        bit = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bits >> (cat - 1):
+        return bits
+    return bits - (1 << cat) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG to a uint8 array."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    qt = {}
+    h = w = None
+    dc_tab = ac_tab = None
+    dc_tabs, ac_tabs = {}, {}
+    scan = None
+    comp_q = 0
+    while i < len(data):
+        if data[i] != 0xFF:
+            raise ValueError("bad marker")
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        seg = data[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:                       # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq:
+                    raise ValueError("16-bit quant unsupported")
+                qt[tq] = np.frombuffer(seg[j + 1:j + 65],
+                                       dtype=np.uint8).astype(np.int32)
+                j += 65
+        elif marker == 0xC0:                     # SOF0 baseline
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[0] != 8 or seg[5] != 1 or seg[7] != 0x11:
+                raise ValueError("only 8-bit single-component baseline")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xC4:                     # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                counts = list(seg[j + 1:j + 17])
+                nvals = sum(counts)
+                values = list(seg[j + 17:j + 17 + nvals])
+                tab = _build_decode_table(counts, values)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                j += 17 + nvals
+        elif marker == 0xDA:                     # SOS
+            dc_tab = dc_tabs[seg[2] >> 4]
+            ac_tab = ac_tabs[seg[2] & 0xF]
+            scan_start = i + 2 + seg_len
+            end = data.find(b"\xff\xd9", scan_start)
+            scan = data[scan_start:end if end >= 0 else len(data)]
+            break
+        i += 2 + seg_len
+    if h is None or scan is None:
+        raise ValueError("truncated JPEG")
+    q = qt[comp_q]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.empty((ph, pw), dtype=np.float64)
+    br = _BitReader(scan)
+    prev_dc = 0
+    inv_zz = _ZIGZAG
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = br.read_symbol(dc_tab)
+            prev_dc += _extend(br.read_bits(cat), cat)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = br.read_symbol(ac_tab)
+                if rs == 0x00:                   # EOB
+                    break
+                if rs == 0xF0:                   # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                cat = rs & 0xF
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(br.read_bits(cat), cat)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[inv_zz] = zz * q
+            block = _DCT.T @ coef.reshape(8, 8) @ _DCT
+            out[by:by + 8, bx:bx + 8] = block
+    img = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
+    return img[:h, :w]

@@ -103,13 +103,33 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
+
+
 def _object_stream(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if not m:
+    """Stream payload of an object body.  The byte range comes from the
+    dict's /Length when it is a direct integer — delimiter scanning
+    alone is WRONG for binary streams: Flate data whose last byte is
+    0x0D is silently truncated by a ``\\r?\\nendstream`` match
+    (hypothesis found the 1-in-256 case).  Indirect /Length falls back
+    to the delimiter scan (our writer never emits it)."""
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
         return None
-    raw = m.group(1)
-    if b"/FlateDecode" in body:
-        raw = zlib.decompress(raw)
+    lm = _LENGTH_RE.search(body[:sm.start()])
+    if lm:
+        raw = body[sm.end():sm.end() + int(lm.group(1))]
+    else:
+        m = _STREAM_RE.search(body)
+        if not m:
+            return None
+        raw = m.group(1)
+    if b"/FlateDecode" in body[:sm.start()]:
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            return None
     return raw
 
 

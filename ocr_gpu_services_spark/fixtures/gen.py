@@ -165,11 +165,23 @@ def _pdf_page(rng: random.Random, i: int) -> bytes:
     return _render_pdf(_pdf_plan(rng, i))
 
 
-def _image_page(rng: random.Random, i: int) -> bytes:
+def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
+                ) -> bytes:
     # composed page: glyph text + optional signature scribble + optional
-    # QR-lite marker, optionally rotated (fixtures/imagegen.py); the kernel
-    # must rediscover the regions from pixels alone
-    return png_encode(imagegen.render_image_page(imagegen.image_plan(rng, i)))
+    # QR symbol, optionally rotated (fixtures/imagegen.py); the kernel
+    # must rediscover the regions from pixels alone.  ~20% of image rows
+    # are BASELINE JPEG (core/jpeg.py, quality-100 tables: +-1 gray
+    # levels, ink/paper bands exactly preserved -> extraction output is
+    # byte-identical to the PNG twin) — only at the correctness scales:
+    # the pure-Python Huffman decode is the documented slow path, so the
+    # throughput-bench corpus stays PNG.  The format draw happens at
+    # EVERY scale so per-row rng streams stay scale-invariant.
+    plan = imagegen.image_plan(rng, i)
+    img = imagegen.render_image_page(plan)
+    if rng.random() < 0.20 and allow_jpeg:
+        from ..core.jpeg import jpeg_encode
+        return jpeg_encode(img)
+    return png_encode(img)
 
 
 def _row_kind(i: int, r: float, pdf_block: range) -> str:
@@ -268,7 +280,8 @@ def gen_rows(scale: str = "tiny", seed: int = 7,
         elif kind == "pdf":
             payload = _pdf_page(rng_i, i)
         elif kind == "image":
-            payload = _image_page(rng_i, i)
+            payload = _image_page(rng_i, i,
+                                  allow_jpeg=scale in ("tiny", "small"))
         elif kind == "text":
             payload = b""
             text_col = ("Plain crawl text block one with several words.\n\n"

@@ -1,0 +1,63 @@
+"""Baseline JPEG codec (core/jpeg.py): S3 format breadth with the
+exactness contract — quality-100 tables keep every pixel within +-1
+gray level, so ink/paper/bed classification bands are preserved and
+extraction output is byte-identical to the PNG twin."""
+
+import random
+
+import numpy as np
+
+from ocr_gpu_services_spark.core.jpeg import jpeg_decode, jpeg_encode
+
+
+def test_roundtrip_error_bounded_and_bands_preserved():
+    from ocr_gpu_services_spark.fixtures import imagegen
+    rng = random.Random(1)
+    for i in range(4):
+        img = imagegen.render_image_page(imagegen.image_plan(rng, i))
+        back = jpeg_decode(jpeg_encode(img))
+        assert back.shape == img.shape
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+        assert ((back < 128) == (img < 128)).all()      # ink band
+        assert ((back > 230) == (img > 230)).all()      # paper band
+
+
+def test_roundtrip_random_noise_and_odd_dims():
+    a = (np.random.RandomState(0).rand(37, 53) * 255).astype(np.uint8)
+    b = jpeg_decode(jpeg_encode(a))
+    assert b.shape == a.shape
+    assert np.abs(b.astype(int) - a.astype(int)).max() <= 2
+
+
+def test_quantized_stream_decodes():
+    # the decoder handles arbitrary quant tables (only the fixture
+    # encoder is pinned to the all-ones exactness contract)
+    a = (np.random.RandomState(1).rand(24, 24) * 255).astype(np.uint8)
+    b = jpeg_decode(jpeg_encode(a, quant=8))
+    assert b.shape == a.shape
+    assert np.abs(b.astype(int) - a.astype(int)).max() <= 40
+
+
+def test_jpeg_row_extracts_byte_identically_to_png_twin():
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.core.png import png_encode
+    from ocr_gpu_services_spark.fixtures import imagegen
+    get_atlas()
+    rng = random.Random(9)
+    plan = imagegen.image_plan(rng, 123)
+    img = imagegen.render_image_page(plan)
+    r_png = extract_document(png_encode(img), None)
+    r_jpg = extract_document(jpeg_encode(img), None)
+    assert r_png[0] == r_jpg[0] == "image"
+    assert r_png[1] == r_jpg[1]                    # text byte-identical
+    assert [s.as_dict() for s in r_png[2]] == \
+        [s.as_dict() for s in r_jpg[2]]            # spans too
+    assert r_png[5] is None and r_jpg[5] is None
+
+
+def test_malformed_jpeg_degrades():
+    from ocr_gpu_services_spark.core.extract import extract_document
+    blob = b"\xff\xd8\xff\xe0" + b"\x00" * 40
+    ct, text, spans, _dt, _cf, err = extract_document(blob, None)
+    assert ct == "image" and text == "" and err is not None

@@ -264,10 +264,16 @@ def test_pdf_writer_parser_matrix_roundtrip(lines, style, compress, objstm):
     stream, raw / Flate) must extract back to the reading-order lines
     (whitespace-collapsed) — the writer/parser matrix far beyond the
     fixed fixture corpus."""
+    from hypothesis import assume
+
     from ocr_gpu_services_spark.fixtures.pdf_write import (
         CidPage, build_pdf, content_stream_ops, content_stream_ops_hex)
     from ocr_gpu_services_spark.core.pdf_extract import extract_pdf
 
+    # two-column mode is defined for >= 2 lines per column (the
+    # generator draws 4-10); a 1-line column shares its y with the other
+    # column's first line and the layout collapses them — out of domain
+    assume(style != 3 or len(lines) >= 4)
     if style == 0:
         page = content_stream_ops(lines)
     elif style == 1:
