@@ -65,6 +65,7 @@ _IMG_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
 _IMG_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
 _IMG_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _IMG_GRAY_RE = re.compile(rb"/ColorSpace\s*/DeviceGray\b")
+_IMG_DCT_RE = re.compile(rb"/Filter\s*/DCTDecode\b")
 
 
 @dataclass
@@ -475,9 +476,10 @@ def _layout_lines(runs: list[_Run], page_width: float):
 def _page_scan_images(body: bytes, objs: dict[int, bytes]):
     """Gray rasters of the page's image XObjects (document order).
 
-    Subset: /DeviceGray, 8 bits/component, Flate or raw stream — the
-    shape the fixture's scan-to-PDF writer emits.  Returns [] when the
-    page has no decodable image."""
+    Subset: /DeviceGray 8-bit, as a Flate/raw raster OR a /DCTDecode
+    (embedded baseline JPEG — what real scan-to-PDF tools emit,
+    decoded by core/jpeg.py).  Returns [] when the page has no
+    decodable image."""
     import numpy as np
 
     out = []
@@ -496,8 +498,19 @@ def _page_scan_images(body: bytes, objs: dict[int, bytes]):
         if bm and int(bm.group(1)) != 8:
             continue
         raw = _object_stream(xbody)
+        if raw is None:
+            continue
         w, h = int(wm.group(1)), int(hm.group(1))
-        if raw is None or len(raw) < w * h:
+        if _IMG_DCT_RE.search(xbody):
+            from .jpeg import jpeg_decode
+            try:
+                img = jpeg_decode(raw)
+            except (ValueError, IndexError):
+                continue
+            if img.shape == (h, w):
+                out.append(img)
+            continue
+        if len(raw) < w * h:
             continue
         out.append(np.frombuffer(raw[:w * h], dtype=np.uint8)
                    .reshape(h, w))

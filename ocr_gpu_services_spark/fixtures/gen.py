@@ -25,7 +25,7 @@ SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
 
 # bump whenever generated payload bytes change, so cached bench corpora
 # (bench.py's /tmp parquet cache) are regenerated instead of silently reused
-GEN_VERSION = "r4-pdf-widening-1"
+GEN_VERSION = "r4-dct-xobj-1"
 
 _WORDS_EN = (
     "pipeline spark batch arrow kernel parquet shuffle partition executor "
@@ -118,8 +118,13 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
         scanned = (doc_kind == "scan"
                    or (doc_kind == "mixed" and p % 2 == 1))
         if scanned:
+            # ~30% of scanned pages embed as /DCTDecode JPEG XObjects
+            # (honored at correctness scales only — see _image_page);
+            # the draw itself happens at every scale so per-row rng
+            # streams stay scale-invariant
             pages.append({"kind": "scan",
-                          "plan": imagegen.image_plan(rng, i * 7 + p)})
+                          "plan": imagegen.image_plan(rng, i * 7 + p),
+                          "xdct": rng.random() < 0.30})
         else:
             n_lines = rng.randint(4, 10)
             lines = [_sentence(rng, rng.randint(4, 9))
@@ -136,11 +141,14 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
             "objstm": rng.random() < 0.25}
 
 
-def _render_pdf(plan: dict) -> bytes:
+def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
+    from .pdf_write import DctScanPage
     pages = []
     for pg in plan["pages"]:
         if pg["kind"] == "scan":
-            pages.append(imagegen.render_image_page(pg["plan"]))
+            img = imagegen.render_image_page(pg["plan"])
+            pages.append(DctScanPage(img)
+                         if (pg.get("xdct") and allow_dct) else img)
         else:
             lines, style = pg["lines"], pg["style"]
             if style == 0:
@@ -161,8 +169,8 @@ def _render_pdf(plan: dict) -> bytes:
                      objstm=plan["objstm"])
 
 
-def _pdf_page(rng: random.Random, i: int) -> bytes:
-    return _render_pdf(_pdf_plan(rng, i))
+def _pdf_page(rng: random.Random, i: int, allow_dct: bool = False) -> bytes:
+    return _render_pdf(_pdf_plan(rng, i), allow_dct=allow_dct)
 
 
 def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
@@ -278,7 +286,7 @@ def gen_rows(scale: str = "tiny", seed: int = 7,
         if kind == "html":
             payload, lang = _html_page(rng_i, i, mega=(i % 101 == 100))
         elif kind == "pdf":
-            payload = _pdf_page(rng_i, i)
+            payload = _pdf_page(rng_i, i, allow_dct=scale in ("tiny", "small"))
         elif kind == "image":
             payload = _image_page(rng_i, i,
                                   allow_jpeg=scale in ("tiny", "small"))

@@ -69,6 +69,15 @@ def content_stream_ops_hex(lines: list[str]) -> bytes:
     return "\n".join(ops).encode("latin-1")
 
 
+class DctScanPage:
+    """A scanned page embedded as a /DCTDecode (baseline JPEG) image
+    XObject — the shape real scan-to-PDF tools emit (core/jpeg.py
+    quality-100 contract keeps extraction byte-identical)."""
+
+    def __init__(self, img):
+        self.img = img
+
+
 class CidPage:
     """A page whose text is shown through a Type0 (CID) font: 2-byte
     codes in the content stream, /ToUnicode CMap mapping them back.
@@ -145,6 +154,9 @@ def build_pdf(pages: list, *, compress: bool = False,
         elif isinstance(p, CidPage):
             entries.append(("cid", nxt, nxt + 1, (nxt + 2, nxt + 3)))
             nxt += 4
+        elif isinstance(p, DctScanPage):
+            entries.append(("dct", nxt, nxt + 1, nxt + 2))
+            nxt += 3
         else:
             entries.append(("scan", nxt, nxt + 1, nxt + 2))
             nxt += 3
@@ -180,18 +192,27 @@ def build_pdf(pages: list, *, compress: bool = False,
             ).encode()
             objs[tnum] = stream_obj(page.tounicode())
         else:
-            h, w = page.shape
+            arr = page.img if pkind == "dct" else page
+            h, w = arr.shape
             objs[pnum] = page_obj(
                 cnum, f"/XObject << /Im0 {extra} 0 R >>")
             # paint the scan across the page; the extractor reads the
             # raster pixels directly, the cm matrix is presentation-only
             ops = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode("latin-1")
             objs[cnum] = stream_obj(ops)
-            objs[extra] = stream_obj(
-                zlib.compress(page.tobytes()),
-                f"/Type /XObject /Subtype /Image /Width {w} /Height {h} "
-                f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-                f"/Filter /FlateDecode ")
+            if pkind == "dct":
+                from ..core.jpeg import jpeg_encode
+                objs[extra] = stream_obj(
+                    jpeg_encode(arr),
+                    f"/Type /XObject /Subtype /Image /Width {w} "
+                    f"/Height {h} /ColorSpace /DeviceGray "
+                    f"/BitsPerComponent 8 /Filter /DCTDecode ")
+            else:
+                objs[extra] = stream_obj(
+                    zlib.compress(arr.tobytes()),
+                    f"/Type /XObject /Subtype /Image /Width {w} "
+                    f"/Height {h} /ColorSpace /DeviceGray "
+                    f"/BitsPerComponent 8 /Filter /FlateDecode ")
     objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     if objstm:

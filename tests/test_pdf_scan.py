@@ -153,6 +153,18 @@ def test_malformed_new_shapes_degrade_never_throw():
         assert isinstance(r1[1], str)
 
 
+def test_dct_jpeg_xobject_page():
+    """A /DCTDecode (embedded baseline JPEG) scanned page — the shape
+    real scan-to-PDF tools emit — must OCR byte-identically to its
+    Flate-raster twin."""
+    from ocr_gpu_services_spark.fixtures.pdf_write import DctScanPage
+    img, _ = _scan_img(["INVOICE 77 DUE", "SIGNED TODAY"], flip=True)
+    t_flate, s_flate = extract_pdf(build_pdf([img]))
+    t_dct, s_dct = extract_pdf(build_pdf([DctScanPage(img)]))
+    assert t_dct == t_flate == "INVOICE 77 DUE\nSIGNED TODAY"
+    assert [s.as_dict() for s in s_dct] == [s.as_dict() for s in s_flate]
+
+
 def test_textless_pdf_without_image_yields_empty():
     # no runs, no XObject -> no OCR route, empty text (not an error)
     text, spans = extract_pdf(build_pdf([content_stream_ops([])]))
