@@ -39,6 +39,17 @@ def get_atlas():
     return _ATLAS
 
 
+def decode_image(payload: bytes):
+    """Format dispatch at the decode seam (PNG / baseline JPEG — the
+    reference accepts both upload types); everything past the pixel
+    array is format-agnostic.  Shared by the extraction kernel and the
+    multimodal table operators."""
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import jpeg_decode
+        return jpeg_decode(payload)
+    return png_decode(payload)
+
+
 def extract_text_branch(text: str | None) -> tuple[str, list[Span]]:
     """Pass-through branch: pre-extracted text, canonicalized per block."""
     if not text:
@@ -68,14 +79,7 @@ def extract_document(payload: bytes | None, text: str | None):
             out_text, spans = extract_pdf(payload)
         elif ct == CT_IMAGE:
             atlas, charset = get_atlas()
-            # format dispatch at the decode seam (PNG / baseline JPEG —
-            # the reference accepts both upload types); everything past
-            # the pixel array is format-agnostic
-            if payload[:3] == b"\xff\xd8\xff":
-                from .jpeg import jpeg_decode
-                img = jpeg_decode(payload)
-            else:
-                img = png_decode(payload)
+            img = decode_image(payload)
             # full image route: deskew -> connected components -> QR decode /
             # signature boxes / glyph OCR (core/image_page.py)
             out_text, spans = process_image_page(img, atlas, charset)

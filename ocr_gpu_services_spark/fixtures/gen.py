@@ -192,6 +192,21 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
     return png_encode(img)
 
 
+def image_row_pixels(rng: random.Random, i: int,
+                     scale: str = "tiny"):
+    """The image row's ground-truth pixel array AFTER its payload codec:
+    identical to the render for PNG rows; encode->decode for JPEG rows
+    (the deterministic +-1-lossy pixels any consumer of the payload
+    actually sees).  Consumes exactly the rng draws of ``_image_page``
+    so oracles built on it stay stream-aligned with the generator."""
+    plan = imagegen.image_plan(rng, i)
+    img = imagegen.render_image_page(plan)
+    if rng.random() < 0.20 and scale in ("tiny", "small"):
+        from ..core.jpeg import jpeg_decode, jpeg_encode
+        img = jpeg_decode(jpeg_encode(img))
+    return img
+
+
 def _row_kind(i: int, r: float, pdf_block: range) -> str:
     """Pure row-kind decision shared by gen_rows and image_expectations."""
     if i in pdf_block:

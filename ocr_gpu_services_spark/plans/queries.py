@@ -795,7 +795,10 @@ def _multimodal_truth_values() -> str:
         rng_i = _random.Random((7 << 20) ^ i)
         kind = _row_kind(i, rng_i.random(), pdf_block)
         if kind == "image":
-            img = imagegen.render_image_page(imagegen.image_plan(rng_i, i))
+            # post-codec ground truth: PNG rows = the render; JPEG rows
+            # = the deterministic lossy pixels the payload carries
+            from ..fixtures.gen import image_row_pixels
+            img = image_row_pixels(rng_i, i)
             w, h = int(img.shape[1]), int(img.shape[0])
             lum = float(img.mean())
         elif ct == "image":
@@ -830,7 +833,7 @@ def multimodal_meta(spark, sf_dir):
     (lazy VALUES, see _multimodal_truth_values)."""
     import pandas as pd
 
-    from ..core.png import png_decode
+    from ..core.extract import decode_image
     from ..core.sniff import sniff_content_type
 
     pages = synthetic_pages(spark, "tiny")
@@ -844,7 +847,7 @@ def multimodal_meta(spark, sf_dir):
                 wi = hi = lum = e = None
                 if c == "image":
                     try:  # rows never throw: error column, not a crash
-                        img = png_decode(bytes(payload))
+                        img = decode_image(bytes(payload))
                         wi, hi = int(img.shape[1]), int(img.shape[0])
                         lum = float(img.mean())
                     except Exception as ex:
@@ -1600,7 +1603,8 @@ def _mm_resize_truth_values() -> str:
         rng_i = _random.Random((7 << 20) ^ i)
         if _row_kind(i, rng_i.random(), pdf_block) != "image":
             continue
-        img = imagegen.render_image_page(imagegen.image_plan(rng_i, i))
+        from ..fixtures.gen import image_row_pixels
+        img = image_row_pixels(rng_i, i)     # post-codec ground truth
         th = resize_nn(img, 16, 16)
         rows.append("('https://pages.example/p/%07d', %d, %d, '%s')" % (
             i, img.shape[1], img.shape[0],
@@ -1620,7 +1624,7 @@ def multimodal_resize(spark, sf_dir):
 
     import pandas as pd
 
-    from ..core.png import png_decode
+    from ..core.extract import decode_image
     from ..core.sniff import sniff_content_type
     from ..operators.multimodal import resize_nn
 
@@ -1634,7 +1638,7 @@ def multimodal_resize(spark, sf_dir):
                 if sniff_content_type(payload, pre) != "image":
                     continue
                 try:
-                    img = png_decode(bytes(payload))
+                    img = decode_image(bytes(payload))
                 except Exception:
                     continue
                 th = resize_nn(img, 16, 16)
