@@ -50,6 +50,7 @@ _GATE_PRIORITY = [
     # round-4 operators (never driver-checked)
     "pdf_scan_ocr", "ocr_line_spans", "ocr_word_spans",
     "substring_dedup_strided", "decontaminate", "dsir_weights",
+    "hll_distinct_tokens",
     # round-3 operators that sat past the 50-entry window
     "multimodal_resize", "video_frame_sample", "audio_window_rms",
     "json_props", "corpus_filter", "pii_redact", "repetition_ratio",

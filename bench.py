@@ -38,7 +38,8 @@ BENCH_QUERIES = [
     "url_canonicalize", "para_dedup", "json_props", "corpus_filter",
     "pii_redact", "repetition_ratio", "domain_stats", "corpus_sample",
     "substring_dedup", "substring_dedup_strided", "decontaminate",
-    "dsir_weights", "tfidf_topterms", "perplexity_filter", "dup_clusters",
+    "dsir_weights", "hll_distinct_tokens", "tfidf_topterms",
+    "perplexity_filter", "dup_clusters",
     "pricing_summary", "top_orders", "join_5way_volume",
     "window_topk", "events_sessionize", "range_join_binned", "asof_join", "hypertable_rollup",
 ]

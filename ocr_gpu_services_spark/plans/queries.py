@@ -2068,6 +2068,70 @@ def decontaminate(spark, sf_dir):
             .agg(F.count_distinct("g").cast("long").alias("n_hits")))
 
 
+_HLL_M = 64     # HyperLogLog registers (p=6); alpha_64 = 0.709
+
+
+@q("hll_distinct_tokens", f"""
+    WITH toks AS (
+      SELECT unnest({textstats.tokens_sql('text')}) AS t FROM documents),
+    hashed AS (
+      SELECT {dedup.h32_sql('t')} % {_HLL_M} AS b,
+             CAST({dedup.h32_sql('t')} // {_HLL_M} AS BIGINT) AS w
+      FROM toks),
+    regs AS (
+      SELECT b, max(CASE WHEN w = 0 THEN 27
+                         ELSE 27 - length(bin(w)) END) AS r
+      FROM hashed GROUP BY b),
+    agg AS (
+      SELECT count(*) AS n_present,
+             sum(power(2.0, -r)) AS s_present
+      FROM regs),
+    est AS (
+      SELECT CAST({_HLL_M} - n_present AS BIGINT) AS v_zero,
+             0.709 * {_HLL_M} * {_HLL_M}
+               / (s_present + ({_HLL_M} - n_present)) AS e
+      FROM agg)
+    SELECT CAST({_HLL_M} AS BIGINT) AS m, v_zero,
+           round(CASE WHEN e <= 2.5 * {_HLL_M} AND v_zero > 0
+                      THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / v_zero)
+                      ELSE e END, 2) AS est_distinct
+    FROM est""")
+def hll_distinct_tokens(spark, sf_dir):
+    """HyperLogLog distinct-token estimate (Flajolet et al. 2007) as a
+    deterministic cross-engine sketch — completes the sketch family
+    next to cms_sketch/simhash/minhash.  Unlike approx_count_distinct
+    (whose HLL++ registers are engine-private), every step here is
+    plain arithmetic both engines compute bit-identically: md5-derived
+    32-bit hash, {_HLL_M} registers, rho from the binary length of the
+    suffix, and the register sum is a sum of exact powers of two (no
+    float rounding, so shuffle order cannot perturb it).  Duplicates
+    never need a distinct: registers are maxes.  Plan: one {_HLL_M}-key
+    partial-agg groupBy + a single-row final agg — at 100 TB the
+    register table is 64 rows regardless of corpus size."""
+    toks = (_tw(spark, sf_dir, "documents")
+            .select(F.explode(textstats.tokens_col(F.col("text")))
+                    .alias("t")))
+    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    hashed = toks.select((h % _HLL_M).alias("b"),
+                         F.floor(h / _HLL_M).cast("long").alias("w"))
+    rho = (F.when(F.col("w") == 0, 27)
+           .otherwise(27 - F.length(F.bin("w"))))
+    regs = hashed.select("b", rho.alias("rho")) \
+        .groupBy("b").agg(F.max("rho").alias("r"))
+    agg = regs.agg(F.count("*").alias("n_present"),
+                   F.sum(F.pow(F.lit(2.0), -F.col("r")))
+                    .alias("s_present"))
+    v_zero = (F.lit(_HLL_M) - F.col("n_present")).cast("long")
+    e = (F.lit(0.709 * _HLL_M * _HLL_M)
+         / (F.col("s_present") + (_HLL_M - F.col("n_present"))))
+    est = (F.when((e <= 2.5 * _HLL_M) & (v_zero > 0),
+                  _HLL_M * F.log(_HLL_M / v_zero.cast("double")))
+           .otherwise(e))
+    return agg.select(F.lit(_HLL_M).cast("long").alias("m"),
+                      v_zero.alias("v_zero"),
+                      F.round(est, 2).alias("est_distinct"))
+
+
 _DSIR_B = 64    # hashed-feature buckets
 _DSIR_H = dedup.h32_sql("t") + f" % {_DSIR_B}"
 
