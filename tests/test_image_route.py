@@ -145,6 +145,30 @@ def test_qr_corrects_damaged_modules():
             assert got in (None, payload)   # detect or overcorrect-proof
 
 
+def test_qr_no_false_positives_on_garbage():
+    """Random squares must never decode: the chain finder-check ->
+    format-BCH -> Reed-Solomon -> byte-mode parse has to reject noise,
+    so a crawl image full of square-ish components cannot emit spurious
+    qr spans."""
+    import random
+    rng = random.Random(3)
+    for _ in range(30):
+        n = rng.choice([63, 75])
+        noise = (np.random.RandomState(rng.randrange(2**31))
+                 .rand(n, n) < rng.uniform(0.2, 0.8))
+        img = np.where(noise, 0, 255).astype(np.uint8)
+        assert qrcode.try_decode_region(img) is None
+    # a symbol-shaped region with REAL finders but garbage data must
+    # fail RS and return None, never wrong data
+    mat, v, _m = qrcode.encode_matrix("QR:9999999", "M")
+    bad = mat.copy()
+    dat = qrcode._data_coords(v)
+    rs = np.random.RandomState(5)
+    for (r, c) in dat:
+        bad[r, c] = bool(rs.rand() < 0.5)
+    assert qrcode.decode_matrix(bad) is None
+
+
 def test_qr_format_info_damage_tolerated():
     mat, _v, _mask = qrcode.encode_matrix("QR:1234567", "M")
     n = mat.shape[0]
