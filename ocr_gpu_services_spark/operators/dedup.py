@@ -471,9 +471,8 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
             # usually just CONFIRMS convergence — skip the pointer-jump
             # self-join and its extra shuffle on the round most
             # clusters never get past.
-            new = (mid.select("doc_id", "prev_lab",
-                              F.col("mlab").alias("lab"))
-                   .localCheckpoint(eager=True))
+            new = mid.select("doc_id", "prev_lab",
+                             F.col("mlab").alias("lab"))
         else:
             # pointer jump: labels are always node ids with lab(u) <= u,
             # so following one more hop (label of my label) is still
@@ -484,14 +483,18 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
                              F.col("mlab").alias("hlab"))
             new = (mid.join(hop, mid.mlab == hop.h_id, "left")
                    .select("doc_id", "prev_lab",
-                           F.coalesce("hlab", "mlab").alias("lab"))
-                   .localCheckpoint(eager=True))
-        # the shuffles ran once in the checkpoint job; the changed-count
-        # is a tiny scan of the materialized set — no second
-        # labels-vs-labels join.
-        changed = (new.agg(F.sum(
+                           F.coalesce("hlab", "mlab").alias("lab")))
+        # ONE job per round: the changed-count rides the checkpoint
+        # action itself as an observed metric (df.observe), so there is
+        # no second scan — the same accumulator machinery the extract
+        # job's metrics sink uses.
+        from pyspark.sql import Observation
+        obs = Observation()
+        new = (new.observe(obs, F.sum(
             (F.col("lab") != F.col("prev_lab")).cast("long"))
-            .alias("c")).collect()[0]["c"]) or 0
+            .alias("changed"))
+            .localCheckpoint(eager=True))
+        changed = obs.get["changed"] or 0
         labels = new
         if changed == 0:
             converged = True
