@@ -45,17 +45,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions plus the 13 round-3 operators that landed past the window —
 # are ordered first; the long-green veterans (3 rounds of identical
 # pass rows) absorb the tail positions.
+# Rule (round-4 verdict): any operator whose implementation changed
+# re-enters the first-50 driver window the round it changes.
 _GATE_PRIORITY = [
     "extract_e2e",                      # flagship stays first
-    # round-4 operators (never driver-checked)
-    "pdf_scan_ocr", "ocr_line_spans", "ocr_word_spans",
-    "substring_dedup_strided", "decontaminate", "dsir_weights",
-    "hll_distinct_tokens",
-    # round-3 operators that sat past the 50-entry window
-    "multimodal_resize", "video_frame_sample", "audio_window_rms",
-    "json_props", "corpus_filter", "pii_redact", "repetition_ratio",
-    "domain_stats", "corpus_sample", "substring_dedup",
-    "tfidf_topterms", "perplexity_filter", "dup_clusters",
+    # round-5: rewritten since their last driver-green row
+    "qr_extract",                       # qrlite -> core/qrcode.py (r4)
+    # round-5: rotated out of the r4 window, last green r1-r3
+    "deskew_angle", "detect_document", "argmin_cost",
+    "shared_vocab_multiset", "signature_spans",
+    # operators touched this round (JPEG decode path feeds these)
+    "multimodal_meta", "multimodal_resize", "pdf_scan_ocr",
+    "dup_clusters",
 ]
 
 

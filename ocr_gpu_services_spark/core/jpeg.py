@@ -194,55 +194,91 @@ def _np_argsort_id():
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
+#
+# The entropy decoder is table-driven: a 65536-entry LUT maps the next
+# 16 bits of the stream directly to (code length << 8 | symbol), so each
+# Huffman symbol costs one list index instead of up to 16 read_bit calls
+# (same vectorization playbook as the OCR decode loop).  Coefficients
+# are accumulated as flat (block, zigzag-k, value) triples and scattered
+# into an (nblocks, 64) array once; the IDCT runs as a single batched
+# float64 matmul, bit-identical to the per-block product.
 
-def _build_decode_table(counts: list[int], values: list[int]):
-    """(code, length) -> symbol dict plus max length."""
-    table = {}
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _build_peek_lut(counts: tuple, values: tuple) -> list[int]:
+    """lut[next16bits] = (codelen << 8) | symbol; 0 = invalid prefix."""
+    lut = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
+        span = 1 << (16 - length)
         for _ in range(counts[length - 1]):
-            table[(length, code)] = values[k]
+            base = code << (16 - length)
+            lut[base:base + span] = [(length << 8) | values[k]] * span
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        # un-stuff 0xFF00 -> 0xFF up front
-        self.data = data.replace(b"\xff\x00", b"\xff")
-        self.pos = 0          # bit position
-
-    def read_bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        bit = (byte >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return bit
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def read_symbol(self, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-
-def _extend(bits: int, cat: int) -> int:
-    if cat == 0:
-        return 0
-    if bits >> (cat - 1):
-        return bits
-    return bits - (1 << cat) + 1
+def _decode_scan(scan: bytes, dc_lut: list[int], ac_lut: list[int],
+                 nblocks: int):
+    """Entropy-decode ``nblocks`` 8x8 blocks; returns parallel lists
+    (block index, zigzag index, dequant-ready value) with DC prediction
+    already folded in (values are absolute DC / raw AC)."""
+    data = scan.replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00\x00"
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
+    # u32[i] = big-endian bytes i..i+3 == the 32 bits starting at bit 8i
+    u32 = ((b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]).tolist()
+    pos = 0
+    prev_dc = 0
+    bidx: list[int] = []
+    kidx: list[int] = []
+    vals: list[int] = []
+    for bi in range(nblocks):
+        w = u32[pos >> 3]
+        e = dc_lut[(w >> (16 - (pos & 7))) & 0xFFFF]
+        if not e:
+            raise ValueError("invalid Huffman code")
+        cat = e & 0xFF
+        pos += e >> 8
+        if cat:
+            r = pos & 7
+            bits = (u32[pos >> 3] >> (32 - r - cat)) & ((1 << cat) - 1)
+            pos += cat
+            prev_dc += bits if bits >> (cat - 1) else bits - (1 << cat) + 1
+        bidx.append(bi)
+        kidx.append(0)
+        vals.append(prev_dc)
+        k = 1
+        while k < 64:
+            w = u32[pos >> 3]
+            e = ac_lut[(w >> (16 - (pos & 7))) & 0xFFFF]
+            if not e:
+                raise ValueError("invalid Huffman code")
+            rs = e & 0xFF
+            pos += e >> 8
+            if rs == 0x00:                       # EOB
+                break
+            if rs == 0xF0:                       # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            cat = rs & 0xF
+            if k > 63:
+                raise ValueError("AC index overflow")
+            if cat:
+                r = pos & 7
+                bits = (u32[pos >> 3] >> (32 - r - cat)) & ((1 << cat) - 1)
+                pos += cat
+                vals.append(bits if bits >> (cat - 1)
+                            else bits - (1 << cat) + 1)
+                bidx.append(bi)
+                kidx.append(k)
+            k += 1
+    return bidx, kidx, vals
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
@@ -285,10 +321,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0xF
-                counts = list(seg[j + 1:j + 17])
+                counts = tuple(seg[j + 1:j + 17])
                 nvals = sum(counts)
-                values = list(seg[j + 17:j + 17 + nvals])
-                tab = _build_decode_table(counts, values)
+                values = tuple(seg[j + 17:j + 17 + nvals])
+                tab = _build_peek_lut(counts, values)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 j += 17 + nvals
         elif marker == 0xDA:                     # SOS
@@ -303,33 +339,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         raise ValueError("truncated JPEG")
     q = qt[comp_q]
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    out = np.empty((ph, pw), dtype=np.float64)
-    br = _BitReader(scan)
-    prev_dc = 0
-    inv_zz = _ZIGZAG
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            cat = br.read_symbol(dc_tab)
-            prev_dc += _extend(br.read_bits(cat), cat)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = br.read_symbol(ac_tab)
-                if rs == 0x00:                   # EOB
-                    break
-                if rs == 0xF0:                   # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                cat = rs & 0xF
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                zz[k] = _extend(br.read_bits(cat), cat)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[inv_zz] = zz * q
-            block = _DCT.T @ coef.reshape(8, 8) @ _DCT
-            out[by:by + 8, bx:bx + 8] = block
+    nblocks = (ph // 8) * (pw // 8)
+    bidx, kidx, vals = _decode_scan(scan, dc_tab, ac_tab, nblocks)
+    coefs = np.zeros((nblocks, 64), dtype=np.float64)
+    kk = np.asarray(kidx, dtype=np.int64)
+    coefs[np.asarray(bidx, dtype=np.int64), _ZIGZAG[kk]] = \
+        np.asarray(vals, dtype=np.float64) * q[kk]
+    blocks = _DCT.T @ coefs.reshape(-1, 8, 8) @ _DCT   # batched IDCT
+    out = blocks.reshape(ph // 8, pw // 8, 8, 8) \
+        .transpose(0, 2, 1, 3).reshape(ph, pw)
     img = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
     return img[:h, :w]

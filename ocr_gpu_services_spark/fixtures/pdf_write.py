@@ -237,7 +237,7 @@ def build_pdf(pages: list, *, compress: bool = False,
 def _assemble_objstm(objs: dict[int, bytes]) -> bytes:
     """PDF 1.5 layout: every non-stream object is packed into ONE
     /Type /ObjStm container; the cross-reference is a /Type /XRef
-    stream (W [1 2 2], type-2 entries pointing into the ObjStm) with
+    stream (W [1 4 2], type-2 entries pointing into the ObjStm) with
     the trailer dict inlined — no classic xref table at all."""
     plain = {n: b for n, b in sorted(objs.items())
              if b"\nstream\n" not in b}

@@ -24,7 +24,7 @@ is its distributed twin; the dedup family generalizes it to corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from .textstats import fingerprint_col, fingerprint_sql, tokens_col, tokens_sql
 
@@ -488,7 +488,6 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
         # action itself as an observed metric (df.observe), so there is
         # no second scan — the same accumulator machinery the extract
         # job's metrics sink uses.
-        from pyspark.sql import Observation
         obs = Observation()
         new = (new.observe(obs, F.sum(
             (F.col("lab") != F.col("prev_lab")).cast("long"))

@@ -97,7 +97,27 @@ class IcebergLikeTable:
 
     # -- read ---------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        """Committed-snapshot read.  When manifests exist the scan covers
+        exactly the current manifests' file lists (Iceberg-style planning:
+        uncommitted or superseded files are invisible, so a compaction in
+        flight can never double-count, and a half-compacted partition
+        fails LOUDLY on its missing file instead of silently narrowing —
+        read_as_of still resolves that generation via the _archive
+        fallback).  Manifest-less layouts fall back to a directory scan."""
+        sel = self.manifests()
+        if not sel:
+            return spark.read.parquet(self.path)
+        paths, missing = [], []
+        for m in sel:
+            for fi in m["files"]:
+                p = os.path.join(self.path, m["partition"], fi["name"])
+                (paths if os.path.exists(p) else missing).append(p)
+        if missing:
+            raise FileNotFoundError(
+                f"committed files missing from live partitions (crashed "
+                f"compaction? see _archive): "
+                f"{missing[:3]}{' ...' if len(missing) > 3 else ''}")
+        return spark.read.option("basePath", self.path).parquet(*paths)
 
     def manifests(self) -> list[dict]:
         """All committed partition manifests, sorted by commit time."""
@@ -216,22 +236,27 @@ class IcebergLikeTable:
         a year-old table scans millions of tiny files and the scheduler,
         not the I/O, becomes the bottleneck.
 
-        Snapshot-safe commit protocol:
-        1. new files are written to a temp dir, then moved into the
-           partition under distinct ``compact-<run_id>-*`` names
+        Snapshot-safe commit protocol (ordered so read() can never see
+        OLD+NEW files together and double-count):
+        1. new files are written to a temp dir (invisible: _tmp prefix)
         2. the superseded manifest is archived to
            ``_manifests/history/<part>/`` (fsync + atomic replace)
-        3. the OLD data files move to ``_archive/<partition>/`` —
-           underscore-prefixed, so plain directory reads see only the
-           compacted files, while read_as_of resolves archived names
-        4. the current manifest is atomically swapped to the new file
+        3. the OLD data files move OUT to ``_archive/<partition>/`` —
+           underscore-prefixed, invisible to directory listing; the
+           still-current manifest keeps resolving them via read_as_of's
+           archive fallback
+        4. the new files move into the partition under distinct
+           ``compact-<run_id>-*`` names
+        5. the current manifest is atomically swapped to the new file
            list — the manifest is the commit point, exactly as in write()
         A reader holding the old snapshot (read_as_of by time or run_id)
         keeps resolving the archived generation until
         ``expire_snapshots`` vacuums it.  A crash mid-protocol leaves
-        either the old manifest (new files orphaned until vacuum; the
-        _archive fallback keeps its file list resolvable) or the new one
-        (archived files awaiting vacuum) — never a broken table.
+        either the old manifest current (after step 3 the partition is
+        readable only via the archive fallback and read() fails LOUDLY
+        on the manifest-vs-directory mismatch; orphaned compact-* files
+        are reclaimed by expire_snapshots' live-dir sweep) or the new
+        manifest committed — never a silently double-counting table.
         Returns {files_before, files_after, bytes} or None if there is
         nothing to gain."""
         cur = os.path.join(self.manifest_dir, f"{part_value}.json")
@@ -248,14 +273,6 @@ class IcebergLikeTable:
                            f"_tmp_compact_{part_value}_{run_id}")
         (spark.read.parquet(*src).coalesce(n_out)
          .write.mode("overwrite").parquet(tmp))
-        new_names = []
-        for f in sorted(os.listdir(tmp)):
-            if f.endswith(".parquet"):
-                name = f"compact-{run_id}-{len(new_names):05d}.parquet"
-                os.replace(os.path.join(tmp, f),
-                           os.path.join(part_dir, name))
-                new_names.append(name)
-        shutil.rmtree(tmp)
         hist = self._history_dir(part_value)
         os.makedirs(hist, exist_ok=True)
         htmp = os.path.join(hist, f".{man['run_id']}.json.tmp")
@@ -267,9 +284,17 @@ class IcebergLikeTable:
             hist, f"{man['run_id']}.{man['committed_at_unix']}.json"))
         arch_dir = os.path.join(self.path, "_archive", man["partition"])
         os.makedirs(arch_dir, exist_ok=True)
-        for fi in files:
+        for fi in files:                 # OLD files OUT first (step 3)
             os.replace(os.path.join(part_dir, fi["name"]),
                        os.path.join(arch_dir, fi["name"]))
+        new_names = []
+        for f in sorted(os.listdir(tmp)):    # NEW files in (step 4)
+            if f.endswith(".parquet"):
+                name = f"compact-{run_id}-{len(new_names):05d}.parquet"
+                os.replace(os.path.join(tmp, f),
+                           os.path.join(part_dir, name))
+                new_names.append(name)
+        shutil.rmtree(tmp)
         self._write_manifest(part_value, man["row_count"], run_id,
                              files=new_names)
         return {"files_before": len(files), "files_after": len(new_names),
@@ -279,7 +304,10 @@ class IcebergLikeTable:
         """Vacuum (the Iceberg ``expire_snapshots`` analogue): drop
         archived manifest generations committed before ``before_unix``
         and delete every data file no surviving manifest references —
-        reclaiming the space compaction deliberately left behind.
+        reclaiming the space compaction deliberately left behind.  The
+        sweep covers both ``_archive/`` AND the live partition dirs of
+        manifested partitions, so compact-* files orphaned by a crashed
+        compaction (written in but never committed) are reclaimed too.
         Single-writer assumption (same as write()): don't vacuum while
         a write or compaction is in flight.  Returns counts."""
         keep: set[tuple[str, str]] = set()
@@ -317,5 +345,16 @@ class IcebergLikeTable:
                     if f.endswith(".parquet") and (d, f) not in keep:
                         os.remove(os.path.join(pdir, f))
                         removed_files += 1
+        # live-dir sweep: only partitions that HAVE a current manifest
+        # (a mid-write partition without one is the writer's, not ours)
+        for m in self.manifests():
+            pdir = os.path.join(self.path, m["partition"])
+            if not os.path.isdir(pdir):
+                continue
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet") and \
+                        (m["partition"], f) not in keep:
+                    os.remove(os.path.join(pdir, f))
+                    removed_files += 1
         return {"dropped_manifests": dropped_manifests,
                 "removed_files": removed_files}

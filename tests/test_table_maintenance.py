@@ -76,3 +76,49 @@ def test_vacuum_without_compaction_is_a_noop_on_data(spark, table):
     res = t.expire_snapshots(before_unix=float("inf"))
     assert res["dropped_manifests"] == 0 and res["removed_files"] == 0
     assert _rows(t.read(spark)) == want
+
+
+def test_read_never_double_counts_mid_compaction(spark, table):
+    """Crash between 'new files in' and 'manifest swap' (the old
+    ordering's double-count window): read() plans from the current
+    manifest, so stray uncommitted compact-* files in the live dir are
+    invisible — row counts stay exact."""
+    t, want = table
+    pdir = os.path.join(t.path, "warc_day=2024-03-01")
+    # simulate the crashed run's orphan: an uncommitted compact file
+    # that duplicates the whole partition
+    src = [os.path.join(pdir, f["name"])
+           for m in t.manifests() if m["partition"] == "warc_day=2024-03-01"
+           for f in m["files"]]
+    (spark.read.parquet(*src).coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(t.path, "_tmp_orphan")))
+    tmpdir = os.path.join(t.path, "_tmp_orphan")
+    part_file = next(f for f in os.listdir(tmpdir) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmpdir, part_file),
+               os.path.join(pdir, "compact-crashed-00000.parquet"))
+    assert _rows(t.read(spark)) == want          # no double count
+    assert t.read(spark).count() == 300
+    # and the vacuum reclaims the orphan from the LIVE dir
+    res = t.expire_snapshots(before_unix=float("inf"))
+    assert res["removed_files"] == 1
+    assert not os.path.exists(
+        os.path.join(pdir, "compact-crashed-00000.parquet"))
+    assert _rows(t.read(spark)) == want
+
+
+def test_read_fails_loudly_when_committed_file_missing(spark, table):
+    """Crash between 'old files out' and 'new files in': the partition
+    is resolvable only through the _archive fallback; the plain read()
+    must raise, never silently narrow the table."""
+    t, want = table
+    man = next(m for m in t.manifests()
+               if m["partition"] == "warc_day=2024-03-02")
+    pdir = os.path.join(t.path, man["partition"])
+    arch = os.path.join(t.path, "_archive", man["partition"])
+    os.makedirs(arch, exist_ok=True)
+    victim = man["files"][0]["name"]
+    os.replace(os.path.join(pdir, victim), os.path.join(arch, victim))
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
+    # the archived generation is still exactly readable by snapshot
+    assert _rows(t.read_as_of(spark, run_id="run1")) == want
