@@ -54,9 +54,10 @@ _GATE_PRIORITY = [
     # round-5: rotated out of the r4 window, last green r1-r3
     "deskew_angle", "detect_document", "argmin_cost",
     "shared_vocab_multiset", "signature_spans",
-    # operators touched this round (JPEG decode path feeds these)
-    "multimodal_meta", "multimodal_resize", "pdf_scan_ocr",
-    "dup_clusters",
+    # operators touched/added this round (JPEG/PNG decode paths feed
+    # these; image_formats is the new S3 color-breadth gate)
+    "image_formats", "multimodal_meta", "multimodal_resize",
+    "pdf_scan_ocr", "dup_clusters",
 ]
 
 

@@ -40,14 +40,21 @@ def get_atlas():
 
 
 def decode_image(payload: bytes):
-    """Format dispatch at the decode seam (PNG / baseline JPEG — the
-    reference accepts both upload types); everything past the pixel
-    array is format-agnostic.  Shared by the extraction kernel and the
-    multimodal table operators."""
+    """Format dispatch at the decode seam (PNG / baseline JPEG, gray or
+    color — the reference accepts any cv2-decodable upload and grays it
+    immediately, optional_services.py:61); color payloads convert to
+    luma here (core/color.py, cv2-exact weights) so everything past the
+    pixel array is the unchanged grayscale kernel.  Shared by the
+    extraction kernel and the multimodal table operators."""
     if payload[:3] == b"\xff\xd8\xff":
         from .jpeg import jpeg_decode
-        return jpeg_decode(payload)
-    return png_decode(payload)
+        img = jpeg_decode(payload)
+    else:
+        img = png_decode(payload)
+    if img.ndim == 3:
+        from .color import rgb_to_gray
+        img = rgb_to_gray(img)
+    return img
 
 
 def extract_text_branch(text: str | None) -> tuple[str, list[Span]]:

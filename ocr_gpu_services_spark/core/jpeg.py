@@ -119,52 +119,82 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
 
 
+def _encode_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray,
+                  prev_dc: int) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block (level-shifted
+    float64 in); returns the new DC predictor."""
+    coef = _DCT @ block @ _DCT.T
+    zz = np.rint(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    cat, bits = _magnitude(diff)
+    code, ln = _DC_CODES[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(bits, cat)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 \
+        if (zz[1:] != 0).any() else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_CODES[0xF0]           # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = _AC_CODES[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(bits, cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = _AC_CODES[0x00]               # EOB
+        bw.write(code, ln)
+    return new_dc
+
+
+def _pad_plane(img: np.ndarray, mult: int) -> np.ndarray:
+    """Edge-replicate pad to a multiple of ``mult``, level-shifted."""
+    h, w = img.shape
+    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1:h, :]
+    padded[:, w:] = padded[:, w - 1:w]
+    padded -= 128.0
+    return padded
+
+
+def _huffman_segments() -> bytes:
+    """DHT segments for tables 0 (luma) and 1 (chroma).  Both slots
+    carry the Annex-K luminance tables — legal baseline JPEG (the
+    decoder always builds from DHT) and keeps this module free of the
+    chrominance table transcription."""
+    out = bytearray()
+    for tc in (0x00, 0x10, 0x01, 0x11):
+        counts, values = (_DC_COUNTS, _DC_VALUES) if tc < 0x10 \
+            else (_AC_COUNTS, _AC_VALUES)
+        seg = bytes([tc]) + bytes(counts) + bytes(values)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    return bytes(out)
+
+
 def jpeg_encode(img: np.ndarray, quant: int = 1) -> bytes:
     """Grayscale baseline JPEG; ``quant`` fills the whole quantization
     table (1 = the exactness contract above)."""
     h, w = img.shape
     q = np.full(64, quant, dtype=np.int32)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = img
-    padded[h:, :w] = img[h - 1:h, :]         # edge-replicate padding
-    padded[:, w:] = padded[:, w - 1:w]
-    padded -= 128.0
+    padded = _pad_plane(img, 8)
+    ph, pw = padded.shape
 
     bw = _BitWriter()
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            block = padded[by:by + 8, bx:bx + 8]
-            coef = _DCT @ block @ _DCT.T
-            zz = np.rint(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat, bits = _magnitude(diff)
-            code, ln = _DC_CODES[cat]
-            bw.write(code, ln)
-            if cat:
-                bw.write(bits, cat)
-            run = 0
-            last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 \
-                if (zz[1:] != 0).any() else 0
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = _AC_CODES[0xF0]   # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                cat, bits = _magnitude(v)
-                code, ln = _AC_CODES[(run << 4) | cat]
-                bw.write(code, ln)
-                bw.write(bits, cat)
-                run = 0
-            if last_nz < 63:
-                code, ln = _AC_CODES[0x00]       # EOB
-                bw.write(code, ln)
+            prev_dc = _encode_block(bw, padded[by:by + 8, bx:bx + 8],
+                                    q, prev_dc)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")                      # SOI
@@ -182,6 +212,80 @@ def jpeg_encode(img: np.ndarray, quant: int = 1) -> bytes:
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
     out += bw.buf
     out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
+# JFIF RGB <-> YCbCr (ITU T.871); float, rounded at the uint8 boundary
+_YCC = np.array([[0.299, 0.587, 0.114],
+                 [-0.168735892, -0.331264108, 0.5],
+                 [0.5, -0.418687589, -0.081312411]])
+
+
+def _rgb_to_ycc(rgb: np.ndarray) -> np.ndarray:
+    ycc = rgb.astype(np.float64) @ _YCC.T
+    ycc[..., 1:] += 128.0
+    return np.clip(np.rint(ycc), 0, 255)
+
+
+def jpeg_encode_color(rgb: np.ndarray, quant: int = 1,
+                      subsampling: str = "444") -> bytes:
+    """Baseline YCbCr JPEG from an (H, W, 3) uint8 RGB array.
+
+    ``subsampling`` is "444" (no chroma subsampling; MCU = 8x8) or
+    "420" (2x2 box-averaged chroma; MCU = 16x16 with four Y blocks).
+    Quant table ``quant`` fills both the luma and chroma tables — 1 is
+    the fixture exactness contract (error stays within the ink/paper/
+    bed classification bands, see module docstring)."""
+    assert rgb.ndim == 3 and rgb.shape[2] == 3
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = rgb.shape[:2]
+    ycc = _rgb_to_ycc(rgb)
+    q = np.full(64, quant, dtype=np.int32)
+    if subsampling == "444":
+        ys, mcu = 0x11, 8
+        planes = [_pad_plane(ycc[..., c], 8) for c in range(3)]
+        sched = [(0, 0, 0), (1, 0, 0), (2, 0, 0)]   # (plane, jr, jc)
+    else:
+        ys, mcu = 0x22, 16
+        ypad = _pad_plane(ycc[..., 0], 16)
+        # 2x2 box-average chroma on the padded grid, then pad to 8
+        sub = []
+        for c in (1, 2):
+            p = _pad_plane(ycc[..., c], 16) + 128.0   # un-shift for avg
+            cs = np.rint((p[0::2, 0::2] + p[0::2, 1::2]
+                          + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0)
+            sub.append(cs - 128.0)
+        planes = [ypad] + sub
+        sched = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+                 (1, 0, 0), (2, 0, 0)]
+    ph, pw = planes[0].shape
+    bw = _BitWriter()
+    dc = [0, 0, 0]
+    for my in range(0, ph, mcu):
+        for mx in range(0, pw, mcu):
+            for pl, jr, jc in sched:
+                if pl == 0:
+                    by, bx = my + jr * 8, mx + jc * 8
+                else:
+                    by, bx = my // (mcu // 8), mx // (mcu // 8)
+                dc[pl] = _encode_block(
+                    bw, planes[pl][by:by + 8, bx:bx + 8], q, dc[pl])
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq in (0, 1):                        # luma + chroma quant tables
+        dqt = bytes([tq]) + bytes(int(x) & 0xFF for x in q[_np_argsort_id()])
+        out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([3, 1, ys, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += _huffman_segments()
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -223,75 +327,107 @@ def _build_peek_lut(counts: tuple, values: tuple) -> list[int]:
     return lut
 
 
-def _decode_scan(scan: bytes, dc_lut: list[int], ac_lut: list[int],
-                 nblocks: int):
-    """Entropy-decode ``nblocks`` 8x8 blocks; returns parallel lists
-    (block index, zigzag index, dequant-ready value) with DC prediction
-    already folded in (values are absolute DC / raw AC)."""
+def _decode_scan(scan: bytes, schedule: list[tuple], n_mcus: int,
+                 ncomp: int, restart_interval: int = 0):
+    """Entropy-decode ``n_mcus`` MCUs.  ``schedule`` lists the blocks of
+    one MCU in order as (component index, dc_lut, ac_lut).  Returns, per
+    component, parallel lists (sequential block index, zigzag index,
+    dequant-ready value) with DC prediction already folded in (values
+    are absolute DC / raw AC).  Honors DRI restart markers: every
+    ``restart_interval`` MCUs the stream byte-aligns, an RSTn marker is
+    skipped, and the DC predictors reset."""
     data = scan.replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00\x00"
     b = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
     # u32[i] = big-endian bytes i..i+3 == the 32 bits starting at bit 8i
     u32 = ((b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]).tolist()
     pos = 0
-    prev_dc = 0
-    bidx: list[int] = []
-    kidx: list[int] = []
-    vals: list[int] = []
-    for bi in range(nblocks):
-        w = u32[pos >> 3]
-        e = dc_lut[(w >> (16 - (pos & 7))) & 0xFFFF]
-        if not e:
-            raise ValueError("invalid Huffman code")
-        cat = e & 0xFF
-        pos += e >> 8
-        if cat:
-            r = pos & 7
-            bits = (u32[pos >> 3] >> (32 - r - cat)) & ((1 << cat) - 1)
-            pos += cat
-            prev_dc += bits if bits >> (cat - 1) else bits - (1 << cat) + 1
-        bidx.append(bi)
-        kidx.append(0)
-        vals.append(prev_dc)
-        k = 1
-        while k < 64:
+    prev_dc = [0] * ncomp
+    nblk = [0] * ncomp
+    out = [([], [], []) for _ in range(ncomp)]
+    for mi in range(n_mcus):
+        if restart_interval and mi and mi % restart_interval == 0:
+            pos = (pos + 7) & ~7                 # byte-align
+            marker = (u32[pos >> 3] >> 16) & 0xFFFF
+            if not (0xFFD0 <= marker <= 0xFFD7):
+                raise ValueError("missing restart marker")
+            pos += 16
+            prev_dc = [0] * ncomp
+        for ci, dc_lut, ac_lut in schedule:
             w = u32[pos >> 3]
-            e = ac_lut[(w >> (16 - (pos & 7))) & 0xFFFF]
+            e = dc_lut[(w >> (16 - (pos & 7))) & 0xFFFF]
             if not e:
                 raise ValueError("invalid Huffman code")
-            rs = e & 0xFF
+            cat = e & 0xFF
             pos += e >> 8
-            if rs == 0x00:                       # EOB
-                break
-            if rs == 0xF0:                       # ZRL
-                k += 16
-                continue
-            k += rs >> 4
-            cat = rs & 0xF
-            if k > 63:
-                raise ValueError("AC index overflow")
             if cat:
                 r = pos & 7
                 bits = (u32[pos >> 3] >> (32 - r - cat)) & ((1 << cat) - 1)
                 pos += cat
-                vals.append(bits if bits >> (cat - 1)
-                            else bits - (1 << cat) + 1)
-                bidx.append(bi)
-                kidx.append(k)
-            k += 1
-    return bidx, kidx, vals
+                prev_dc[ci] += bits if bits >> (cat - 1) \
+                    else bits - (1 << cat) + 1
+            bidx, kidx, vals = out[ci]
+            bi = nblk[ci]
+            nblk[ci] = bi + 1
+            bidx.append(bi)
+            kidx.append(0)
+            vals.append(prev_dc[ci])
+            k = 1
+            while k < 64:
+                w = u32[pos >> 3]
+                e = ac_lut[(w >> (16 - (pos & 7))) & 0xFFFF]
+                if not e:
+                    raise ValueError("invalid Huffman code")
+                rs = e & 0xFF
+                pos += e >> 8
+                if rs == 0x00:                   # EOB
+                    break
+                if rs == 0xF0:                   # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                cat = rs & 0xF
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                if cat:
+                    r = pos & 7
+                    bits = (u32[pos >> 3] >> (32 - r - cat)) \
+                        & ((1 << cat) - 1)
+                    pos += cat
+                    vals.append(bits if bits >> (cat - 1)
+                                else bits - (1 << cat) + 1)
+                    bidx.append(bi)
+                    kidx.append(k)
+                k += 1
+    return out
+
+
+def _idct_blocks(bidx, kidx, vals, q: np.ndarray, nblocks: int
+                 ) -> np.ndarray:
+    """Scatter coefficient triples, dequantize, batched IDCT -> float64
+    (nblocks, 8, 8) pixel blocks (still level-shifted by -128)."""
+    coefs = np.zeros((nblocks, 64), dtype=np.float64)
+    kk = np.asarray(kidx, dtype=np.int64)
+    coefs[np.asarray(bidx, dtype=np.int64), _ZIGZAG[kk]] = \
+        np.asarray(vals, dtype=np.float64) * q[kk]
+    return _DCT.T @ coefs.reshape(-1, 8, 8) @ _DCT
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG to a uint8 array."""
+    """Decode a baseline JPEG: grayscale streams return an (H, W) uint8
+    array; 3-component YCbCr streams (4:4:4, 4:2:2, 4:2:0) return an
+    (H, W, 3) uint8 RGB array.  Progressive (SOF2) raises with an
+    explicit message so the extraction kernel lands the row in its
+    ``error`` column instead of crashing."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
     qt = {}
     h = w = None
-    dc_tab = ac_tab = None
+    comps: list[tuple] = []      # (cid, hs, vs, tq) in SOF order
     dc_tabs, ac_tabs = {}, {}
     scan = None
-    comp_q = 0
+    scan_tabs: dict[int, tuple] = {}
+    restart_interval = 0
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError("bad marker")
@@ -312,10 +448,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xC0:                     # SOF0 baseline
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
-            if seg[0] != 8 or seg[5] != 1 or seg[7] != 0x11:
-                raise ValueError("only 8-bit single-component baseline")
-            comp_q = seg[8]
-        elif marker in (0xC1, 0xC2, 0xC3):
+            nc = seg[5]
+            if seg[0] != 8 or nc not in (1, 3):
+                raise ValueError("only 8-bit gray/YCbCr baseline")
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xC4:                     # DHT
             j = 0
@@ -327,26 +469,51 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 tab = _build_peek_lut(counts, values)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 j += 17 + nvals
+        elif marker == 0xDD:                     # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:                     # SOS
-            dc_tab = dc_tabs[seg[2] >> 4]
-            ac_tab = ac_tabs[seg[2] & 0xF]
+            ns = seg[0]
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tabs[cid] = (dc_tabs[tabs >> 4], ac_tabs[tabs & 0xF])
             scan_start = i + 2 + seg_len
             end = data.find(b"\xff\xd9", scan_start)
             scan = data[scan_start:end if end >= 0 else len(data)]
             break
         i += 2 + seg_len
-    if h is None or scan is None:
+    if h is None or scan is None or not comps:
         raise ValueError("truncated JPEG")
-    q = qt[comp_q]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    nblocks = (ph // 8) * (pw // 8)
-    bidx, kidx, vals = _decode_scan(scan, dc_tab, ac_tab, nblocks)
-    coefs = np.zeros((nblocks, 64), dtype=np.float64)
-    kk = np.asarray(kidx, dtype=np.int64)
-    coefs[np.asarray(bidx, dtype=np.int64), _ZIGZAG[kk]] = \
-        np.asarray(vals, dtype=np.float64) * q[kk]
-    blocks = _DCT.T @ coefs.reshape(-1, 8, 8) @ _DCT   # batched IDCT
-    out = blocks.reshape(ph // 8, pw // 8, 8, 8) \
-        .transpose(0, 2, 1, 3).reshape(ph, pw)
-    img = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
-    return img[:h, :w]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        raise ValueError("unsupported sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    schedule = []
+    for ci, (cid, hs, vs, _tq) in enumerate(comps):
+        dc_lut, ac_lut = scan_tabs[cid]
+        for _ in range(hs * vs):
+            schedule.append((ci, dc_lut, ac_lut))
+    per_comp = _decode_scan(scan, schedule, mcus_x * mcus_y,
+                            len(comps), restart_interval)
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        bidx, kidx, vals = per_comp[ci]
+        nblocks = mcus_x * mcus_y * hs * vs
+        blocks = _idct_blocks(bidx, kidx, vals, qt[tq], nblocks)
+        plane = blocks.reshape(mcus_y, mcus_x, vs, hs, 8, 8) \
+            .transpose(0, 2, 4, 1, 3, 5) \
+            .reshape(mcus_y * vs * 8, mcus_x * hs * 8)
+        if hs != hmax or vs != vmax:             # chroma upsample
+            plane = plane.repeat(vmax // vs, axis=0) \
+                         .repeat(hmax // hs, axis=1)
+        planes.append(plane[:h, :w] + 128.0)
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136286 * cb - 0.714136286 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

@@ -507,6 +507,9 @@ def _page_scan_images(body: bytes, objs: dict[int, bytes]):
                 img = jpeg_decode(raw)
             except (ValueError, IndexError):
                 continue
+            if img.ndim == 3:        # color /DCTDecode raster -> luma
+                from .color import rgb_to_gray
+                img = rgb_to_gray(img)
             if img.shape == (h, w):
                 out.append(img)
             continue

@@ -33,3 +33,33 @@ def sniff_content_type(payload: bytes | None, text: str | None) -> str:
     if payload[:8] == MAGIC_PNG or payload[:3] == MAGIC_JPG:
         return CT_IMAGE
     return CT_HTML
+
+
+_PNG_FORMATS = {0: "png-gray", 2: "png-rgb", 3: "png-palette",
+                4: "png-graya", 6: "png-rgba"}
+_JPEG_SAMP = {0x11: "jpeg-444", 0x22: "jpeg-420", 0x21: "jpeg-422"}
+
+
+def probe_image_format(payload: bytes) -> str | None:
+    """Sub-format of an image payload from its header bytes alone (the
+    S3 breadth gate): PNG color type from IHDR, JPEG component count +
+    luma sampling factors from SOF0.  None if unprobeable."""
+    if payload[:8] == MAGIC_PNG:
+        if len(payload) < 26:
+            return None
+        return _PNG_FORMATS.get(payload[25])     # IHDR byte 9 = color type
+    if payload[:3] == MAGIC_JPG:
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                nc = payload[i + 9]
+                if nc == 1:
+                    return "jpeg-gray"
+                return _JPEG_SAMP.get(payload[i + 11])
+            if marker == 0xD9 or marker == 0xDA:
+                return None
+            i += 2 + int.from_bytes(payload[i + 2:i + 4], "big")
+    return None

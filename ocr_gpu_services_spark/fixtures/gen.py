@@ -184,11 +184,38 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
     # the pure-Python Huffman decode is the documented slow path, so the
     # throughput-bench corpus stays PNG.  The format draw happens at
     # EVERY scale so per-row rng streams stay scale-invariant.
+    # ~40% of the correctness-scale rows are COLOR (S3 parity: the
+    # reference grays every cv2-decodable upload, optional_services.py
+    # :61): exact-luma colorization (fixtures/colorize.py) keeps the
+    # decoded-then-grayed pixels byte-identical for lossless formats and
+    # band-exact for JPEG, so goldens are unchanged.  The color decision
+    # rides a SEPARATE rng stream keyed by row index — the main per-row
+    # stream draws exactly what it always drew, so every other row's
+    # payload and golden is untouched.
     plan = imagegen.image_plan(rng, i)
     img = imagegen.render_image_page(plan)
-    if rng.random() < 0.20 and allow_jpeg:
-        from ..core.jpeg import jpeg_encode
+    as_jpeg = rng.random() < 0.20 and allow_jpeg
+    crng = random.Random(f"color:{i}") if allow_jpeg else None
+    colorize = crng is not None and crng.random() < 0.40
+    if as_jpeg:
+        from ..core.jpeg import jpeg_encode, jpeg_encode_color
+        if colorize:
+            from .colorize import colorize_exact
+            rgb = colorize_exact(img, crng)
+            sub = "420" if crng.random() < 0.5 else "444"
+            return jpeg_encode_color(rgb, subsampling=sub)
         return jpeg_encode(img)
+    if colorize:
+        from ..core.png import (png_encode_palette, png_encode_rgb,
+                                png_encode_rgba)
+        from .colorize import colorize_exact
+        rgb = colorize_exact(img, crng)
+        v = crng.random()
+        if v < 0.40:
+            return png_encode_rgb(rgb)
+        if v < 0.70:
+            return png_encode_palette(rgb)
+        return png_encode_rgba(rgb)
     return png_encode(img)
 
 
@@ -201,10 +228,52 @@ def image_row_pixels(rng: random.Random, i: int,
     so oracles built on it stay stream-aligned with the generator."""
     plan = imagegen.image_plan(rng, i)
     img = imagegen.render_image_page(plan)
-    if rng.random() < 0.20 and scale in ("tiny", "small"):
-        from ..core.jpeg import jpeg_decode, jpeg_encode
-        img = jpeg_decode(jpeg_encode(img))
+    at_corr_scale = scale in ("tiny", "small")
+    as_jpeg = rng.random() < 0.20 and at_corr_scale
+    crng = random.Random(f"color:{i}") if at_corr_scale else None
+    colorize = crng is not None and crng.random() < 0.40
+    if as_jpeg:
+        from ..core.jpeg import jpeg_decode, jpeg_encode, jpeg_encode_color
+        if colorize:
+            from ..core.color import rgb_to_gray
+            from .colorize import colorize_exact
+            rgb = colorize_exact(img, crng)
+            sub = "420" if crng.random() < 0.5 else "444"
+            return rgb_to_gray(jpeg_decode(
+                jpeg_encode_color(rgb, subsampling=sub)))
+        return jpeg_decode(jpeg_encode(img))
+    # color PNG variants are lossless AND luma-exact by construction, so
+    # the post-codec pixels equal the gray render exactly
     return img
+
+
+def image_row_format(rng: random.Random, i: int,
+                     scale: str = "tiny") -> str:
+    """Generator-side format truth for the ``image_formats`` oracle:
+    replays exactly the draws of ``_image_page`` (main stream: plan +
+    format; side stream: colorize, two tint draws inside
+    ``colorize_exact``, then the variant/subsampling draw) without
+    rendering or encoding anything."""
+    imagegen.image_plan(rng, i)
+    at_corr_scale = scale in ("tiny", "small")
+    as_jpeg = rng.random() < 0.20 and at_corr_scale
+    crng = random.Random(f"color:{i}") if at_corr_scale else None
+    colorize = crng is not None and crng.random() < 0.40
+    if colorize:
+        crng.randrange(-28, 29)          # colorize_exact's tint draws
+        crng.randrange(-28, 29)
+    if as_jpeg:
+        if colorize:
+            return "jpeg-420" if crng.random() < 0.5 else "jpeg-444"
+        return "jpeg-gray"
+    if colorize:
+        v = crng.random()
+        if v < 0.40:
+            return "png-rgb"
+        if v < 0.70:
+            return "png-palette"
+        return "png-rgba"
+    return "png-gray"
 
 
 def _row_kind(i: int, r: float, pdf_block: range) -> str:

@@ -868,6 +868,63 @@ def multimodal_meta(spark, sf_dir):
         "width int, height int, mean_luma double, error string")
 
 
+def _image_formats_truth_values() -> str:
+    """VALUES oracle for image_formats: generator-side format truth
+    (fixtures/gen.py image_row_format replays the format/colorize draws
+    — no payload bytes are consulted), so the query's byte-level header
+    probe is checked against an independent derivation."""
+    import random as _random
+
+    from ..core.sniff import sniff_content_type
+    from ..fixtures.gen import (SCALES, _row_kind, gen_rows,
+                                image_row_format)
+
+    n = SCALES["tiny"]
+    pdf_block = range(int(n * 0.55), int(n * 0.55) + max(2, n // 25))
+    rows = []
+    for i, r in enumerate(gen_rows("tiny")):
+        if sniff_content_type(r["html"], r["text"]) != "image":
+            continue
+        rng_i = _random.Random((7 << 20) ^ i)
+        kind = _row_kind(i, rng_i.random(), pdf_block)
+        if kind == "image":
+            fmt = "'%s'" % image_row_format(rng_i, i)
+        else:                    # the broken truncated-PNG fixture row
+            fmt = "NULL"
+        rows.append("('%s', %s)" % (r["url"], fmt))
+    return ("SELECT url, format FROM (VALUES %s) AS t(url, format)"
+            % ", ".join(rows))
+
+
+@q("image_formats", _image_formats_truth_values)
+def image_formats(spark, sf_dir):
+    """S3 format breadth gate: probe every image payload's sub-format
+    from its header bytes (PNG IHDR color type; JPEG SOF0 component
+    count + sampling factors — core/sniff.py probe_image_format) inside
+    mapInPandas.  The corpus carries gray/RGB/palette/RGBA PNG and
+    gray/4:4:4/4:2:0 YCbCr JPEG rows (reference parity: cv2.imdecode
+    accepts all of these, /root/reference/src/api/v1/utils.py:15-18)."""
+    import pandas as pd
+
+    from ..core.sniff import probe_image_format, sniff_content_type
+
+    pages = synthetic_pages(spark, "tiny")
+
+    def probe_batches(it):
+        for pdf in it:
+            urls, fmts = [], []
+            for url, payload, text in zip(pdf["url"], pdf["html"],
+                                          pdf["text"]):
+                if sniff_content_type(payload, text) != "image":
+                    continue
+                urls.append(url)
+                fmts.append(probe_image_format(bytes(payload)))
+            yield pd.DataFrame({"url": urls, "format": fmts},
+                               dtype=object)
+
+    return pages.mapInPandas(probe_batches, "url string, format string")
+
+
 # ===========================================================================
 # reference-parity widening 2: J2 multiset shared-vocab, U6/A7 deskew
 # angle, U3 QR record shape
