@@ -49,8 +49,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-enters the first-50 driver window the round it changes.
 _GATE_PRIORITY = [
     "extract_e2e",                      # flagship stays first
-    # round-5: rewritten since their last driver-green row
+    # round-5: rewritten since their last driver-green row, + the new
+    # second symbology
     "qr_extract",                       # qrlite -> core/qrcode.py (r4)
+    "barcode_extract",                  # EAN-13 (new this round)
     # round-5: rotated out of the r4 window, last green r1-r3
     "deskew_angle", "detect_document", "argmin_cost",
     "shared_vocab_multiset", "signature_spans",

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import qrcode
+from . import barcode, qrcode
 from .geometry import deskew
 from .glyph_ocr import CELL, MARGIN, ocr_page
 from .spans import Span
@@ -132,6 +132,7 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
         # (deskew restores it exactly, then the 180 re-vote below
         # settles direction) or a page with no text rows at all
         fast_upright = _max_band_height(ink) <= CELL
+        pre_deskew = img
         if fast_upright:
             upright = img
         else:
@@ -152,6 +153,17 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
                 if s > best_score:
                     best_img, best_score = cand, s
                     if s == 64.0:
+                        break
+            if best_score < 64.0 and upright is not pre_deskew:
+                # the deskew itself may have been misled (a quarter-
+                # turned barcode's bars read as a skewed line pattern,
+                # so the shear destroyed the glyph grid): re-vote on the
+                # PRE-deskew pixels — a perfect row there is proof the
+                # page was an exact quarter/half turn with no real skew
+                for k in (1, 3, 2):
+                    cand = np.rot90(pre_deskew, k)
+                    if orientation_score(cand, atlas) == 64.0:
+                        best_img, best_score = cand, 64.0
                         break
             if best_img is not upright:
                 upright = np.ascontiguousarray(best_img)
@@ -196,13 +208,40 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
                 text=payload, conf=1.0,
                 x0=float(x0 - ox), y0=float(y0 - oy),
                 x1=float(x1 + 1 - ox), y1=float(y1 + 1 - oy), kind="qr"))
+    # EAN-13 detection (U3, 1-D symbology, core/barcode.py): a barcode's
+    # bars are thin equal-height components sharing EXACT top and bottom
+    # rows — group by (y0, y1), decode the joint bbox by scanline.  The
+    # guard/parity/checksum chain rejects bar-ish non-symbols.
+    bc_spans: list[Span] = []
+    bc_boxes: list[tuple[int, int, int, int]] = []
+    bar_groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for i in big_idx:
+        y0, x0, y1, x1 = int(cy0[i]), int(cx0[i]), int(cy1[i]), int(cx1[i])
+        w, hh = x1 - x0 + 1, y1 - y0 + 1
+        if w <= 4 * barcode.MODULE_W and hh >= 4 * w:
+            bar_groups.setdefault((y0, y1), []).append((x0, x1))
+    for (y0, y1), bars in bar_groups.items():
+        if len(bars) < 20:                   # EAN-13 renders 30 bars
+            continue
+        bx0 = min(b[0] for b in bars)
+        bx1 = max(b[1] for b in bars)
+        payload = barcode.try_decode_region(upright[y0:y1 + 1,
+                                                    bx0:bx1 + 1])
+        if payload is not None:
+            bc_boxes.append((y0, bx0, y1, bx1))
+            bc_spans.append(Span(
+                text=payload, conf=1.0,
+                x0=float(bx0 - ox), y0=float(y0 - oy),
+                x1=float(bx1 + 1 - ox), y1=float(y1 + 1 - oy),
+                kind="barcode"))
+
     for i in big_idx:
         y0, x0, y1, x1 = int(cy0[i]), int(cx0[i]), int(cy1[i]), int(cx1[i])
         w, hh = x1 - x0 + 1, y1 - y0 + 1
         # components inside a decoded symbol (finder rings, alignment
-        # pattern) are QR structure, never signatures
+        # pattern, bars) are symbol structure, never signatures
         if any(by0 <= y0 and y1 <= by1 and bx0 <= x0 and x1 <= bx1
-               for (by0, bx0, by1, bx1) in qr_boxes):
+               for (by0, bx0, by1, bx1) in qr_boxes + bc_boxes):
             continue
         if _is_p7_signature(w, hh):
             sig_spans.append(Span(
@@ -244,4 +283,5 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
 
     sig_spans.sort(key=lambda s: (s.y0, s.x0))
     qr_spans.sort(key=lambda s: (s.y0, s.x0))
-    return text, word_spans + sig_spans + qr_spans
+    bc_spans.sort(key=lambda s: (s.y0, s.x0))
+    return text, word_spans + sig_spans + qr_spans + bc_spans

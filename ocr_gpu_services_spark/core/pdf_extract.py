@@ -40,6 +40,8 @@ import re
 import zlib
 from dataclasses import dataclass
 
+import numpy as np
+
 from .normalize import canonical_text, collapse_ws
 from .spans import Span
 
@@ -480,8 +482,6 @@ def _page_scan_images(body: bytes, objs: dict[int, bytes]):
     (embedded baseline JPEG — what real scan-to-PDF tools emit,
     decoded by core/jpeg.py).  Returns [] when the page has no
     decodable image."""
-    import numpy as np
-
     out = []
     xm = _XOBJ_DICT_RE.search(body)
     if xm is None:
@@ -572,8 +572,18 @@ def extract_pdf(payload: bytes) -> tuple[str, list[Span]]:
         if not runs:
             scans = _page_scan_images(body, objs)
             if scans:
+                # honor the /Rotate page attribute (real scan-to-PDF
+                # tools emit 90/180/270 for sideways captures): the flag
+                # is the viewer's CLOCKWISE display rotation, so undo it
+                # as an exact pixel permutation BEFORE the OCR route —
+                # free and byte-exact, where the orientation vote would
+                # merely be a fallback
+                rm = re.search(rb"/Rotate\s+(-?\d+)", body)
+                rot = (int(rm.group(1)) // 90) % 4 if rm else 0
                 parts = []
                 for img in scans:
+                    if rot:
+                        img = np.ascontiguousarray(np.rot90(img, -rot))
                     t, page_spans = _ocr_scanned_page(img)
                     parts.append(t)
                     spans.extend(page_spans)

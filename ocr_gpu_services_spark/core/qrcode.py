@@ -4,22 +4,26 @@ Replaces the round-2 "QR-lite" stand-in with the published spec so U3
 reaches real parity with the reference's pyzbar decode
 (/root/reference/src/infrastructure/services/optional_services.py:56-78,
 record shape {data, type='QRCODE', position}).  Everything here derives
-from the public standard: byte mode, versions 1-2 (21/25 modules),
+from the public standard: byte mode, versions 1-5 (21-37 modules),
 error-correction levels L/M/Q/H with Reed-Solomon over GF(256)
-(poly 0x11D, b=0 consecutive roots), the 8 mask patterns selected by the
-four penalty rules, BCH(15,5)-protected format information (mask
+(poly 0x11D, b=0 consecutive roots), multi-block codeword interleaving
+(versions 3+ split data across up to 4 RS blocks, round-robin data then
+round-robin parity per the spec's table 9), the 8 mask patterns selected
+by the four penalty rules, BCH(15,5)-protected format information (mask
 0x5412), finder/separator/timing/alignment function patterns and the
 standard two-column zigzag codeword placement.  The decoder corrects up
-to floor(ec_codewords/2) corrupted codewords (Berlekamp-Massey + Chien
-+ Forney) and tolerates up to 3 flipped format-info modules per copy —
-exercised by the adversarial damaged-module tests.
+to floor(ec_codewords/2) corrupted codewords PER BLOCK (Berlekamp-
+Massey + Chien + Forney) and tolerates up to 3 flipped format-info
+modules per copy — exercised by the adversarial damaged-module tests.
 
 Encoder (fixture generator) and decoder (extraction kernel) share the
 placement/table code below, but the decoder is tested against *damaged*
 renders too, so round-tripping is not vacuous.
 
-Versions beyond 2 are out of scope (payloads here are <= 26 bytes);
-the tables are trivially extensible.
+Versions beyond 5 are out of scope (payloads here are <= 84 bytes);
+versions 2-6 carry a single alignment pattern so the sampling grid
+needs no multi-alignment fit — v6 is a table entry away, v7+ adds the
+version-information block.
 """
 
 from __future__ import annotations
@@ -175,14 +179,29 @@ def rs_correct(codeword: list[int], nsym: int) -> list[int] | None:
 
 
 # ---------------------------------------------------------------------------
-# tables: versions 1-2, EC levels
+# tables: versions 1-5, EC levels
 # ---------------------------------------------------------------------------
 
-# (total codewords, {level: ec codewords}) — single RS block for v1-2
-_CAPACITY = {1: 26, 2: 44}
-_EC_CODEWORDS = {1: {"L": 7, "M": 10, "Q": 13, "H": 17},
-                 2: {"L": 10, "M": 16, "Q": 22, "H": 28}}
+# (version, level) -> RS block structure: list of (ec_per_block, n_data)
+# per the spec's error-correction characteristics table; group-2 blocks
+# (one extra data codeword) follow group-1
+_BLOCKS = {
+    1: {"L": [(7, 19)], "M": [(10, 16)], "Q": [(13, 13)], "H": [(17, 9)]},
+    2: {"L": [(10, 34)], "M": [(16, 28)], "Q": [(22, 22)],
+        "H": [(28, 16)]},
+    3: {"L": [(15, 55)], "M": [(26, 44)], "Q": [(18, 17)] * 2,
+        "H": [(22, 13)] * 2},
+    4: {"L": [(20, 80)], "M": [(18, 32)] * 2, "Q": [(26, 24)] * 2,
+        "H": [(16, 9)] * 4},
+    5: {"L": [(26, 108)], "M": [(24, 43)] * 2,
+        "Q": [(18, 15)] * 2 + [(18, 16)] * 2,
+        "H": [(22, 11)] * 2 + [(22, 12)] * 2},
+}
+_CAPACITY = {v: sum(ec + d for ec, d in blocks["M"])
+             for v, blocks in _BLOCKS.items()}
 _EC_BITS = {"L": 0b01, "M": 0b00, "Q": 0b11, "H": 0b10}
+# versions 2-6: one alignment pattern centered at (c, c)
+_ALIGN_CENTER = {2: 18, 3: 22, 4: 26, 5: 30}
 
 _FINDER = np.array([[1, 1, 1, 1, 1, 1, 1],
                     [1, 0, 0, 0, 0, 0, 1],
@@ -213,7 +232,8 @@ def _function_mask(version: int) -> np.ndarray:
     fm[6, :] = True              # timing row
     fm[:, 6] = True              # timing col
     if version >= 2:
-        fm[16:21, 16:21] = True  # alignment at (18, 18)
+        c = _ALIGN_CENTER[version]
+        fm[c - 2:c + 3, c - 2:c + 3] = True  # alignment at (c, c)
     fm[4 * version + 9, 8] = True          # dark module
     # format info areas
     fm[8, 0:9] = True
@@ -232,7 +252,8 @@ def _place_function_patterns(mod: np.ndarray, version: int) -> None:
         mod[6, k] = (k % 2 == 0)
         mod[k, 6] = (k % 2 == 0)
     if version >= 2:
-        mod[16:21, 16:21] = _ALIGNMENT
+        c = _ALIGN_CENTER[version]
+        mod[c - 2:c + 3, c - 2:c + 3] = _ALIGNMENT
     mod[4 * version + 9, 8] = True
 
 
@@ -337,7 +358,54 @@ def _penalty(mod: np.ndarray) -> int:
 # encode
 # ---------------------------------------------------------------------------
 
-MAX_PAYLOAD = 26   # bytes (fits V2-M)
+MAX_PAYLOAD = 84   # bytes (fits V5-M: 2x43 data codewords - 2 header)
+
+
+def _interleave_blocks(cws: bytes, blocks: list[tuple[int, int]]) -> bytes:
+    """Split data codewords into RS blocks, append per-block parity,
+    interleave round-robin (all data column-wise, then all parity)."""
+    datas, pos = [], 0
+    for _ec, d in blocks:
+        datas.append(cws[pos:pos + d])
+        pos += d
+    ecs = [rs_encode(b, ec)[len(b):] for (ec, _d), b in zip(blocks, datas)]
+    out = bytearray()
+    for i in range(max(len(b) for b in datas)):
+        for b in datas:
+            if i < len(b):
+                out.append(b[i])
+    for i in range(blocks[0][0]):        # ec length is uniform per (v, lvl)
+        for e in ecs:
+            out.append(e[i])
+    return bytes(out)
+
+
+def _deinterleave_correct(cws: list[int],
+                          blocks: list[tuple[int, int]]) -> list[int] | None:
+    """Inverse of _interleave_blocks + per-block RS correction; returns
+    the concatenated data codewords or None if any block is beyond its
+    correction capacity."""
+    d_lens = [d for _ec, d in blocks]
+    n_ec = blocks[0][0]
+    datas: list[list[int]] = [[] for _ in blocks]
+    idx = 0
+    for i in range(max(d_lens)):
+        for bi, dl in enumerate(d_lens):
+            if i < dl:
+                datas[bi].append(cws[idx])
+                idx += 1
+    ecs: list[list[int]] = [[] for _ in blocks]
+    for _i in range(n_ec):
+        for bi in range(len(blocks)):
+            ecs[bi].append(cws[idx])
+            idx += 1
+    stream: list[int] = []
+    for bi in range(len(blocks)):
+        fixed = rs_correct(datas[bi] + ecs[bi], n_ec)
+        if fixed is None:
+            return None
+        stream.extend(fixed[:d_lens[bi]])
+    return stream
 
 
 def _build_matrix(version: int, level: str, codewords: bytes,
@@ -369,14 +437,14 @@ def encode_matrix(payload: str, level: str = "M"
     if not 1 <= len(data) <= MAX_PAYLOAD:
         raise ValueError(f"payload length {len(data)} out of range")
     version = None
-    for v in (1, 2):
-        cap_bits = (_CAPACITY[v] - _EC_CODEWORDS[v][level]) * 8
+    for v in sorted(_BLOCKS):
+        cap_bits = sum(d for _ec, d in _BLOCKS[v][level]) * 8
         if 4 + 8 + 8 * len(data) <= cap_bits:
             version = v
             break
     if version is None:
-        raise ValueError("payload too long for v1-2")
-    n_data = _CAPACITY[version] - _EC_CODEWORDS[version][level]
+        raise ValueError("payload too long for v1-5")
+    n_data = sum(d for _ec, d in _BLOCKS[version][level])
     bits = []
 
     def push(val: int, width: int):
@@ -397,7 +465,7 @@ def encode_matrix(payload: str, level: str = "M"
     while len(cws) < n_data:
         cws.append(pad[k % 2])
         k += 1
-    full = rs_encode(bytes(cws), _EC_CODEWORDS[version][level])
+    full = _interleave_blocks(bytes(cws), _BLOCKS[version][level])
     best = None
     for mask in range(8):
         mat = _build_matrix(version, level, full, mask)
@@ -455,11 +523,9 @@ def decode_matrix(mod: np.ndarray) -> str | None:
         return None
     cws = [int("".join(map(str, bits[i * 8:(i + 1) * 8])), 2)
            for i in range(total)]
-    nsym = _EC_CODEWORDS[version][level]
-    fixed = rs_correct(cws, nsym)
-    if fixed is None:
+    stream = _deinterleave_correct(cws, _BLOCKS[version][level])
+    if stream is None:
         return None
-    stream = fixed[:total - nsym]
     # parse byte-mode segment
     def take(nbits: int, state: list[int]) -> int:
         v = 0
@@ -537,7 +603,7 @@ def try_decode_region(sub: np.ndarray) -> str | None:
     h, w = sub.shape
     if h != w:
         return None
-    for nmods in (21, 25):
+    for nmods in (21, 25, 29, 33, 37):
         if h % nmods:
             continue
         m = h // nmods

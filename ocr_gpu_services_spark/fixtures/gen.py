@@ -121,10 +121,16 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
             # ~30% of scanned pages embed as /DCTDecode JPEG XObjects
             # (honored at correctness scales only — see _image_page);
             # the draw itself happens at every scale so per-row rng
-            # streams stay scale-invariant
+            # streams stay scale-invariant.  ~25% carry a /Rotate page
+            # attribute (side rng stream: main-stream draws untouched;
+            # the flag round-trips exactly so goldens are unchanged)
+            rrng = random.Random(f"pdfrot:{i}:{p}")
+            rot = rrng.choice((90, 180, 270)) \
+                if rrng.random() < 0.25 else 0
             pages.append({"kind": "scan",
                           "plan": imagegen.image_plan(rng, i * 7 + p),
-                          "xdct": rng.random() < 0.30})
+                          "xdct": rng.random() < 0.30,
+                          "rotate": rot})
         else:
             n_lines = rng.randint(4, 10)
             lines = [_sentence(rng, rng.randint(4, 9))
@@ -142,13 +148,18 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
 
 
 def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
-    from .pdf_write import DctScanPage
+    from .pdf_write import DctScanPage, ScanPage
     pages = []
     for pg in plan["pages"]:
         if pg["kind"] == "scan":
             img = imagegen.render_image_page(pg["plan"])
-            pages.append(DctScanPage(img)
-                         if (pg.get("xdct") and allow_dct) else img)
+            rot = pg.get("rotate", 0)
+            if pg.get("xdct") and allow_dct:
+                pages.append(DctScanPage(img, rotate=rot))
+            elif rot:
+                pages.append(ScanPage(img, rotate=rot))
+            else:
+                pages.append(img)
         else:
             lines, style = pg["lines"], pg["style"]
             if style == 0:

@@ -23,7 +23,7 @@ import random
 
 import numpy as np
 
-from ..core import glyph_ocr, qrcode
+from ..core import barcode, glyph_ocr, qrcode
 from ..core.geometry import SKEW_GRID, rotate_canvas
 
 GAP = 12          # vertical separation between regions (> glyph pitch)
@@ -65,6 +65,27 @@ def image_plan(rng: random.Random, i: int) -> dict:
         lines.append(" ".join(words))
     sig_seed = rng.randrange(2 ** 30) if rng.random() < 0.45 else None
     qr_payload = f"QR:{i:07d}" if rng.random() < 0.40 else None
+    if qr_payload is not None:
+        # ~35% of symbols carry a longer payload that lands in QR
+        # versions 3-5 (multi-block RS interleaving, bigger sampling
+        # grids).  Rides a SIDE rng stream keyed by row index so every
+        # main-stream draw — and therefore every non-QR golden — is
+        # untouched; the QR pages' goldens change payload text only
+        # (regenerated in the same commit).
+        vrng = random.Random(f"qrv:{i}")
+        if vrng.random() < 0.35:
+            tail = vrng.choice((26, 50, 70))     # -> v3 / v4 / v5 at M
+            alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-."
+            qr_payload += "/" + "".join(
+                vrng.choice(alpha) for _ in range(tail))
+    # ~18% of pages carry an EAN-13 retail barcode (second symbology,
+    # core/barcode.py) — side rng stream again, main stream untouched
+    erng = random.Random(f"ean:{i}")
+    ean_payload = None
+    ean_x = glyph_ocr.MARGIN
+    if erng.random() < 0.18:
+        ean_payload = "".join(erng.choice("0123456789") for _ in range(12))
+        ean_x = erng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 80)
     sig_x = rng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 40)
     qr_x = rng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 60)
     angle = 0.0
@@ -102,7 +123,8 @@ def image_plan(rng: random.Random, i: int) -> dict:
         angle = 0.0
     return {"lines": lines, "sig_seed": sig_seed, "qr_payload": qr_payload,
             "sig_x": sig_x, "qr_x": qr_x, "angle": angle, "bed": bed,
-            "persp": persp, "flip": flip, "turn": turn}
+            "persp": persp, "flip": flip, "turn": turn,
+            "ean_payload": ean_payload, "ean_x": ean_x}
 
 
 def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
@@ -129,6 +151,18 @@ def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
                           y_cur + qr.shape[0] - 1,
                           plan["qr_x"] + qr.shape[1] - 1)
         y_cur += qr.shape[0] + GAP
+    meta["ean_box"] = None
+    meta["ean_payload"] = None
+    if plan.get("ean_payload") is not None:
+        bc = barcode.encode(plan["ean_payload"])
+        parts.append((bc, y_cur, plan["ean_x"]))
+        meta["ean_box"] = (y_cur, plan["ean_x"],
+                           y_cur + bc.shape[0] - 1,
+                           plan["ean_x"] + bc.shape[1] - 1)
+        # decode truth = the full 13 digits incl. the check digit
+        meta["ean_payload"] = (plan["ean_payload"]
+                               + str(barcode.checksum(plan["ean_payload"])))
+        y_cur += bc.shape[0] + GAP
     height = max(y + a.shape[0] for a, y, x in parts) + M
     width = max(x + a.shape[1] for a, y, x in parts) + M
     img = np.full((height, width), PAPER, dtype=np.uint8)
@@ -195,6 +229,8 @@ def canonical_meta(plan: dict) -> dict:
     return {"sig_span": canon(meta["sig_box"]),
             "qr_span": canon(meta["qr_box"]),
             "qr_payload": meta["qr_payload"],
+            "ean_span": canon(meta["ean_box"]),
+            "ean_payload": meta["ean_payload"],
             "angle": plan["angle"],
             "line_spans": expected_line_spans(plan),
             "word_spans": expected_word_spans(plan)}

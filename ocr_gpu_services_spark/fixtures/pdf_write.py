@@ -72,10 +72,23 @@ def content_stream_ops_hex(lines: list[str]) -> bytes:
 class DctScanPage:
     """A scanned page embedded as a /DCTDecode (baseline JPEG) image
     XObject — the shape real scan-to-PDF tools emit (core/jpeg.py
-    quality-100 contract keeps extraction byte-identical)."""
+    quality-100 contract keeps extraction byte-identical).  ``rotate``
+    emits a /Rotate page attribute with the raster stored pre-rotated
+    (CCW by the flag) so an extractor honoring the flag recovers the
+    upright render as a pure pixel permutation."""
 
-    def __init__(self, img):
+    def __init__(self, img, rotate: int = 0):
         self.img = img
+        self.rotate = rotate
+
+
+class ScanPage:
+    """A Flate raster scan page with an optional /Rotate attribute
+    (same storage convention as DctScanPage)."""
+
+    def __init__(self, img, rotate: int = 0):
+        self.img = img
+        self.rotate = rotate
 
 
 class CidPage:
@@ -170,9 +183,10 @@ def build_pdf(pages: list, *, compress: bool = False,
         return ((f"<< {extra}/Length {len(body)} >>").encode()
                 + b"\nstream\n" + body + b"\nendstream")
 
-    def page_obj(cnum: int, resources: str) -> bytes:
+    def page_obj(cnum: int, resources: str, rotate: int = 0) -> bytes:
+        rot = f"/Rotate {rotate} " if rotate else ""
         return (f"<< /Type /Page /Parent 2 0 R /MediaBox "
-                f"[0 0 {PAGE_W} {PAGE_H}] /Contents {cnum} 0 R "
+                f"[0 0 {PAGE_W} {PAGE_H}] {rot}/Contents {cnum} 0 R "
                 f"/Resources << {resources} >> >>").encode()
 
     for page, (pkind, pnum, cnum, extra) in zip(pages, entries):
@@ -192,10 +206,20 @@ def build_pdf(pages: list, *, compress: bool = False,
             ).encode()
             objs[tnum] = stream_obj(page.tounicode())
         else:
-            arr = page.img if pkind == "dct" else page
+            if pkind == "dct" or isinstance(page, ScanPage):
+                rotate = page.rotate % 360
+                arr = page.img
+                if rotate:
+                    # store CCW-rotated; the /Rotate flag (clockwise
+                    # display rotation) inverts it exactly
+                    import numpy as _np
+                    arr = _np.ascontiguousarray(
+                        _np.rot90(arr, rotate // 90))
+            else:
+                rotate, arr = 0, page
             h, w = arr.shape
             objs[pnum] = page_obj(
-                cnum, f"/XObject << /Im0 {extra} 0 R >>")
+                cnum, f"/XObject << /Im0 {extra} 0 R >>", rotate=rotate)
             # paint the scan across the page; the extractor reads the
             # raster pixels directly, the cm matrix is presentation-only
             ops = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode("latin-1")

@@ -440,11 +440,18 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
     fail.  Returns (doc_id, cluster_id, n_members) for every node in
     the pair graph.
     """
+    # symmetric edge list, hash-partitioned ONCE on the per-round join
+    # key and persisted in that layout: every round's neighbor-min join
+    # then reuses the cached partitioning instead of re-exchanging the
+    # (biggest) edge side.  No distinct(): min-aggregation is duplicate-
+    # edge insensitive, so the dedup shuffle would be pure cost.
+    spark = pairs.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
     edges = (pairs.select(F.col("doc_a").alias("a"),
                           F.col("doc_b").alias("b"))
              .unionByName(pairs.select(F.col("doc_b").alias("a"),
                                        F.col("doc_a").alias("b")))
-             .distinct().persist())
+             .repartition(n_part, "a").persist())
     # initialization already applies the FIRST propagation round without
     # a join: every node starts at min(itself, its direct neighbors) —
     # one groupBy over the symmetric edge list.  Shallow components

@@ -998,12 +998,13 @@ def deskew_angle(spark, sf_dir):
 
 
 def _image_truth_values() -> tuple[str, str]:
-    """(qr VALUES sql, signature VALUES sql) from the fixture generator's
-    PLAN geometry (fixtures/gen.image_expectations) — placement arithmetic
-    only, independent of the detection pipeline the Spark side runs
-    (PNG decode -> deskew -> connected components -> QR decode / P7)."""
+    """(qr VALUES sql, signature VALUES sql, ean VALUES sql) from the
+    fixture generator's PLAN geometry (fixtures/gen.image_expectations)
+    — placement arithmetic only, independent of the detection pipeline
+    the Spark side runs (PNG decode -> deskew -> connected components ->
+    QR / EAN-13 decode / P7)."""
     from ..fixtures.gen import image_expectations, pdf_expectations
-    qr_rows, sig_rows = [], []
+    qr_rows, sig_rows, ean_rows = [], [], []
 
     def add(url, meta):
         if meta["qr_payload"] is not None:
@@ -1013,11 +1014,15 @@ def _image_truth_values() -> tuple[str, str]:
             x0, y0, x1, y1 = meta["sig_span"]
             sig_rows.append("('%s', %r, %r, %r, %r)"
                             % (url, x0, y0, x1, y1))
+        if meta.get("ean_payload") is not None:
+            x0, y0, x1, y1 = meta["ean_span"]
+            ean_rows.append("('%s', '%s', 'EAN13', %r, %r, %r, %r)"
+                            % (url, meta["ean_payload"], x0, y0, x1, y1))
 
     for e in image_expectations("tiny"):
         add(e["url"], e)
-    # scanned pages INSIDE pdfs emit the same qr/signature spans (the
-    # OCR-fallback route, core/pdf_extract._ocr_scanned_page)
+    # scanned pages INSIDE pdfs emit the same qr/signature/ean spans
+    # (the OCR-fallback route, core/pdf_extract._ocr_scanned_page)
     for e in pdf_expectations("tiny"):
         for meta in e["scan_metas"]:
             add(e["url"], meta)
@@ -1027,10 +1032,15 @@ def _image_truth_values() -> tuple[str, str]:
                "AS y0, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1 "
                "FROM (VALUES %s) AS t(url, x0, y0, x1, y1)"
                % ", ".join(sig_rows))
-    return qr_sql, sig_sql
+    ean_sql = ("SELECT url, data, type, CAST(x0 AS DOUBLE) AS x0, "
+               "CAST(y0 AS DOUBLE) AS y0, CAST(x1 AS DOUBLE) AS x1, "
+               "CAST(y1 AS DOUBLE) AS y1 "
+               "FROM (VALUES %s) AS t(url, data, type, x0, y0, x1, y1)"
+               % ", ".join(ean_rows))
+    return qr_sql, sig_sql, ean_sql
 
 
-_QR_TRUTH_SQL, _SIG_TRUTH_SQL = _image_truth_values()
+_QR_TRUTH_SQL, _SIG_TRUTH_SQL, _EAN_TRUTH_SQL = _image_truth_values()
 
 
 @q("qr_extract", _QR_TRUTH_SQL)
@@ -1048,6 +1058,23 @@ def qr_extract(spark, sf_dir):
             .filter(F.col("s.kind") == "qr")
             .select("url", F.col("s.text").alias("data"),
                     F.lit("QRCODE").alias("type")))
+
+
+@q("barcode_extract", _EAN_TRUTH_SQL)
+def barcode_extract(spark, sf_dir):
+    """U3, second symbology (pyzbar reads 1-D retail codes alongside QR,
+    reference optional_services.py:56-78): EAN-13 symbols detected as
+    equal-height bar component groups, scanline-decoded with guard/
+    parity/checksum verification (core/barcode.py), emitted as
+    kind='barcode' spans with exact symbol geometry.  Oracle = the
+    generator's planted digits + placement arithmetic, so payload, the
+    derived check digit AND the box are all hard-gated."""
+    ext = extract_pipeline(synthetic_pages(spark, "tiny"))
+    return (ext.select("url", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "barcode")
+            .select("url", F.col("s.text").alias("data"),
+                    F.lit("EAN13").alias("type"),
+                    "s.x0", "s.y0", "s.x1", "s.y1"))
 
 
 def _ocr_span_truth_sql() -> tuple[str, str]:

@@ -109,7 +109,10 @@ def test_components_vs_bruteforce_flood_fill():
 # QR Model 2 (core/qrcode.py)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("payload", ["A", "QR:0001234", "x" * 26])
+@pytest.mark.parametrize("payload", ["A", "QR:0001234", "x" * 26,
+                                     "v3/" + "B" * 33,       # version 3
+                                     "v4/" + "C" * 55,       # version 4
+                                     "v5/" + "D" * 80])      # version 5
 def test_qr_roundtrip(payload):
     assert qrcode.try_decode_region(qrcode.encode(payload)) == payload
 
@@ -120,19 +123,22 @@ def test_qr_rejects_non_symbols():
     assert qrcode.try_decode_region(np.zeros((63, 62), np.uint8)) is None
 
 
-def test_qr_corrects_damaged_modules():
+@pytest.mark.parametrize("payload", ["QR:0000042",          # v1, 1 block
+                                     "v3Q" + "E" * 34,      # v3, 2 blocks
+                                     "v5X" + "F" * 78])     # v5, 2 blocks
+def test_qr_corrects_damaged_modules(payload):
     """Reed-Solomon actually corrects: flip whole codewords up to the
-    correction bound (nsym//2) and decode must still succeed; one more
-    corrupted codeword past the bound must fail loudly (None), never
-    return wrong data."""
+    per-block correction bound (nsym//2 — interleaving spreads any
+    nsym//2 interleaved positions across blocks at <= nsym//2 each) and
+    decode must still succeed; well past the bound it must fail loudly
+    (None), never return wrong data."""
     import random
     rng = random.Random(7)
-    payload = "QR:0000042"
     mat, v, _mask = qrcode.encode_matrix(payload, "M")
-    nsym = qrcode._EC_CODEWORDS[v]["M"]
+    nsym = qrcode._BLOCKS[v]["M"][0][0]
     dat = qrcode._data_coords(v)
     n_cw = len(dat) // 8
-    for n_bad, want_ok in ((nsym // 2, True), (nsym // 2 + 2, False)):
+    for n_bad, want_ok in ((nsym // 2, True), (nsym + 4, False)):
         m = mat.copy()
         for cw in rng.sample(range(n_cw), n_bad):
             for k in range(8):

@@ -169,3 +169,33 @@ def test_textless_pdf_without_image_yields_empty():
     # no runs, no XObject -> no OCR route, empty text (not an error)
     text, spans = extract_pdf(build_pdf([content_stream_ops([])]))
     assert text == "" and spans == []
+
+
+def test_rotate_flag_page_extracts_byte_identically_to_upright_twin():
+    """/Rotate 90/180/270 scan pages must recover via the FLAG (an exact
+    pixel permutation), matching the flag-free twin byte-for-byte."""
+    import random
+
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.fixtures.gen import _pdf_plan, _render_pdf
+    get_atlas()
+    tested = 0
+    for i in range(120):
+        rng = random.Random(i * 977)
+        plan = _pdf_plan(rng, i)
+        if not any(p["kind"] == "scan" and p.get("rotate")
+                   for p in plan["pages"]):
+            continue
+        r1 = extract_document(_render_pdf(plan, allow_dct=True), None)
+        plan0 = {**plan, "pages": [
+            {**p, "rotate": 0} if p["kind"] == "scan" else p
+            for p in plan["pages"]]}
+        r0 = extract_document(_render_pdf(plan0, allow_dct=True), None)
+        assert r1[5] is None and r0[5] is None
+        assert r1[1] == r0[1]
+        assert [s.as_dict() for s in r1[2]] == [s.as_dict() for s in r0[2]]
+        tested += 1
+        if tested >= 6:
+            break
+    assert tested >= 6
