@@ -315,39 +315,46 @@ def _mask_fn(mask: int):
     ][mask]
 
 
+def _runs_penalty(grid: np.ndarray) -> int:
+    """N1 over the rows of ``grid``, vectorized: boundaries between
+    same-color runs come from the horizontal diff; per-run lengths from
+    consecutive boundary indices."""
+    h, w = grid.shape
+    g = grid.astype(np.int8)
+    # boundary flags incl. virtual boundaries at both edges of each row
+    edge = np.ones((h, 1), dtype=bool)
+    bnd = np.concatenate([edge, g[:, 1:] != g[:, :-1], edge], axis=1)
+    rr, cc = np.nonzero(bnd)
+    # consecutive boundary pairs within the same row = runs
+    same_row = rr[1:] == rr[:-1]
+    lengths = (cc[1:] - cc[:-1])[same_row]
+    long = lengths[lengths >= 5]
+    return int((long - 2).sum())             # 3 + (len - 5) each
+
+
 def _penalty(mod: np.ndarray) -> int:
     n = mod.shape[0]
-    score = 0
     # N1: runs of >=5 same-colored modules (rows and cols)
-    for grid in (mod, mod.T):
-        for line in grid:
-            run, prev = 1, line[0]
-            for v in line[1:]:
-                if v == prev:
-                    run += 1
-                else:
-                    if run >= 5:
-                        score += 3 + run - 5
-                    run, prev = 1, v
-            if run >= 5:
-                score += 3 + run - 5
+    score = _runs_penalty(mod) + _runs_penalty(mod.T)
     # N2: 2x2 blocks of one color
     blocks = (mod[:-1, :-1] == mod[1:, :-1]) & \
              (mod[:-1, :-1] == mod[:-1, 1:]) & \
              (mod[:-1, :-1] == mod[1:, 1:])
     score += 3 * int(blocks.sum())
     # N3: finder-like 1011101 with 4 light modules on either side
-    pat = [True, False, True, True, True, False, True]
+    pat = np.array([1, 0, 1, 1, 1, 0, 1], dtype=np.int8)
     for grid in (mod, mod.T):
-        for line in grid:
-            lb = list(line)
-            for i in range(len(lb) - 6):
-                if lb[i:i + 7] == pat:
-                    before = lb[max(0, i - 4):i]
-                    after = lb[i + 7:i + 11]
-                    if (len(before) == 4 and not any(before)) or \
-                       (len(after) == 4 and not any(after)):
-                        score += 40
+        g = grid.astype(np.int8)
+        w = g.shape[1]
+        win = np.lib.stride_tricks.sliding_window_view(g, 7, axis=1)
+        hit = (win == pat).all(axis=2)        # (rows, w-6)
+        pad = np.zeros((g.shape[0], 4), dtype=np.int8)
+        gp = np.concatenate([pad + 1, g, pad + 1], axis=1)  # pad dark
+        # light quad before: columns i-4..i-1 (shifted by the +4 pad)
+        wb = np.lib.stride_tricks.sliding_window_view(gp, 4, axis=1)
+        before_light = (wb[:, :w - 6] == 0).all(axis=2)
+        after_light = (wb[:, 11:11 + (w - 6)] == 0).all(axis=2)
+        score += 40 * int((hit & (before_light | after_light)).sum())
     # N4: dark-module proportion
     dark_pct = 100.0 * mod.sum() / mod.size
     score += 10 * int(abs(dark_pct - 50) / 5)

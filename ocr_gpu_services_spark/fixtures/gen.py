@@ -25,7 +25,7 @@ SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
 
 # bump whenever generated payload bytes change, so cached bench corpora
 # (bench.py's /tmp parquet cache) are regenerated instead of silently reused
-GEN_VERSION = "r4-dct-xobj-1"
+GEN_VERSION = "r5-barcode-color-rotate-1"
 
 _WORDS_EN = (
     "pipeline spark batch arrow kernel parquet shuffle partition executor "
@@ -397,7 +397,24 @@ def gen_rows(scale: str = "tiny", seed: int = 7,
                "text": text_col, "lang": lang}
 
 
+_GEN_CACHE: dict[tuple[str, int], object] = {}
+
+
 def gen_pandas(scale: str = "tiny", seed: int = 7):
+    """Generated corpus as pandas, memoized per (scale, seed): the
+    registry and bench build dozens of queries over the same tiny
+    corpus, and regenerating it driver-side per query is pure overhead.
+    Callers never mutate the frame (createDataFrame copies), and Spark
+    DataFrames built from the cached object are fresh plans each time —
+    no Spark-side result caching is introduced.  Only the correctness
+    scales are retained (bench scales stream through parquet shards)."""
     import pandas as pd
-    return pd.DataFrame(list(gen_rows(scale, seed)),
-                        columns=["url", "warc_ts", "html", "text", "lang"])
+    key = (scale, seed)
+    if key not in _GEN_CACHE:
+        df = pd.DataFrame(list(gen_rows(scale, seed)),
+                          columns=["url", "warc_ts", "html", "text",
+                                   "lang"])
+        if scale not in ("tiny", "small"):
+            return df
+        _GEN_CACHE[key] = df
+    return _GEN_CACHE[key]
