@@ -28,6 +28,8 @@ version-information block.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 MODULE = 3                 # rendered pixels per module (fixture scale)
@@ -282,8 +284,11 @@ def _format_positions(n: int):
     return copy1, copy2
 
 
+@lru_cache(maxsize=None)
 def _data_coords(version: int):
-    """Zigzag codeword placement order over non-function modules."""
+    """Zigzag codeword placement order over non-function modules.
+    Cached: rebuilt identically for every encode/decode of a version
+    (callers treat the list as read-only)."""
     n = _size(version)
     fm = _function_mask(version)
     coords = []
@@ -300,6 +305,20 @@ def _data_coords(version: int):
         upward = not upward
         col -= 2
     return coords
+
+
+@lru_cache(maxsize=None)
+def _decode_tables(version: int, mask: int):
+    """(rows, cols, mask bits) arrays over the zigzag placement order —
+    the per-symbol decode hot path reads every data module with ONE
+    fancy-index + xor instead of a per-coordinate Python loop."""
+    coords = _data_coords(version)
+    rs = np.array([r for r, _ in coords], dtype=np.intp)
+    cs = np.array([c for _, c in coords], dtype=np.intp)
+    mfn = _mask_fn(mask)
+    mvals = np.array([mfn(int(r), int(c)) for r, c in coords],
+                     dtype=bool)
+    return rs, cs, mvals
 
 
 def _mask_fn(mask: int):
@@ -522,14 +541,12 @@ def decode_matrix(mod: np.ndarray) -> str | None:
     if best is None or best[0] > 3:
         return None
     level, mask = best[1], best[2]
-    coords = _data_coords(version)
-    mfn = _mask_fn(mask)
-    bits = [int(bool(mod[r, c]) ^ mfn(r, c)) for (r, c) in coords]
+    rs_, cs_, mvals = _decode_tables(version, mask)
+    bits = mod[rs_, cs_].astype(bool) ^ mvals
     total = _CAPACITY[version]
-    if len(bits) < total * 8:
+    if bits.size < total * 8:
         return None
-    cws = [int("".join(map(str, bits[i * 8:(i + 1) * 8])), 2)
-           for i in range(total)]
+    cws = np.packbits(bits[:total * 8]).tolist()
     stream = _deinterleave_correct(cws, _BLOCKS[version][level])
     if stream is None:
         return None
