@@ -425,11 +425,12 @@ def _idct_blocks(bidx, kidx, vals, q: np.ndarray, nblocks: int
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG: grayscale streams return an (H, W) uint8
-    array; 3-component YCbCr streams (4:4:4, 4:2:2, 4:2:0) return an
-    (H, W, 3) uint8 RGB array.  Progressive (SOF2) raises with an
-    explicit message so the extraction kernel lands the row in its
-    ``error`` column instead of crashing."""
+    """Decode a JPEG: grayscale streams return an (H, W) uint8 array;
+    3-component YCbCr streams (4:4:4, 4:2:2, 4:2:0) return an
+    (H, W, 3) uint8 RGB array.  Progressive streams (SOF2) dispatch to
+    core/jpeg_progressive; malformed ones raise so the extraction
+    kernel lands the row in its ``error`` column instead of
+    crashing."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
@@ -466,8 +467,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported")
+        elif marker == 0xC2:                     # SOF2 progressive
+            from .jpeg_progressive import decode_progressive
+            return decode_progressive(data)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")

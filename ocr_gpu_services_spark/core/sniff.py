@@ -56,9 +56,11 @@ def probe_image_format(payload: bytes) -> str | None:
             marker = payload[i + 1]
             if marker in (0xC0, 0xC1, 0xC2, 0xC3):
                 nc = payload[i + 9]
-                if nc == 1:
-                    return "jpeg-gray"
-                return _JPEG_SAMP.get(payload[i + 11])
+                base = "jpeg-gray" if nc == 1 \
+                    else _JPEG_SAMP.get(payload[i + 11])
+                if base is not None and marker == 0xC2:   # progressive
+                    base = base.replace("jpeg-", "jpeg-prog-")
+                return base
             if marker == 0xD9 or marker == 0xDA:
                 return None
             i += 2 + int.from_bytes(payload[i + 2:i + 4], "big")

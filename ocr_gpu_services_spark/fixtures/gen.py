@@ -210,11 +210,23 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
     colorize = crng is not None and crng.random() < 0.40
     if as_jpeg:
         from ..core.jpeg import jpeg_encode, jpeg_encode_color
+        # ~35% of JPEG rows are PROGRESSIVE (SOF2, libjpeg-style scan
+        # script, core/jpeg_progressive.py) — the default web export
+        # shape; decoded coefficients equal the sequential encoder's,
+        # so extraction stays byte-identical and goldens unchanged
+        prng = random.Random(f"prog1:{i}")
+        progressive = prng.random() < 0.35
         if colorize:
             from .colorize import colorize_exact
             rgb = colorize_exact(img, crng)
+            if progressive:
+                from ..core.jpeg_progressive import jpeg_encode_progressive
+                return jpeg_encode_progressive(rgb)
             sub = "420" if crng.random() < 0.5 else "444"
             return jpeg_encode_color(rgb, subsampling=sub)
+        if progressive:
+            from ..core.jpeg_progressive import jpeg_encode_progressive
+            return jpeg_encode_progressive(img)
         return jpeg_encode(img)
     if colorize:
         from ..core.png import (png_encode_palette, png_encode_rgb,
@@ -245,13 +257,21 @@ def image_row_pixels(rng: random.Random, i: int,
     colorize = crng is not None and crng.random() < 0.40
     if as_jpeg:
         from ..core.jpeg import jpeg_decode, jpeg_encode, jpeg_encode_color
+        prng = random.Random(f"prog1:{i}")
+        progressive = prng.random() < 0.35
         if colorize:
             from ..core.color import rgb_to_gray
             from .colorize import colorize_exact
             rgb = colorize_exact(img, crng)
+            if progressive:
+                from ..core.jpeg_progressive import jpeg_encode_progressive
+                return rgb_to_gray(jpeg_decode(jpeg_encode_progressive(rgb)))
             sub = "420" if crng.random() < 0.5 else "444"
             return rgb_to_gray(jpeg_decode(
                 jpeg_encode_color(rgb, subsampling=sub)))
+        if progressive:
+            from ..core.jpeg_progressive import jpeg_encode_progressive
+            return jpeg_decode(jpeg_encode_progressive(img))
         return jpeg_decode(jpeg_encode(img))
     # color PNG variants are lossless AND luma-exact by construction, so
     # the post-codec pixels equal the gray render exactly
@@ -274,9 +294,13 @@ def image_row_format(rng: random.Random, i: int,
         crng.randrange(-28, 29)          # colorize_exact's tint draws
         crng.randrange(-28, 29)
     if as_jpeg:
+        prng = random.Random(f"prog1:{i}")
+        progressive = prng.random() < 0.35
         if colorize:
+            if progressive:
+                return "jpeg-prog-444"
             return "jpeg-420" if crng.random() < 0.5 else "jpeg-444"
-        return "jpeg-gray"
+        return "jpeg-prog-gray" if progressive else "jpeg-gray"
     if colorize:
         v = crng.random()
         if v < 0.40:

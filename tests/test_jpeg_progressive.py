@@ -1,0 +1,86 @@
+"""Progressive JPEG (core/jpeg_progressive.py): the full Annex-G
+subset — spectral selection, successive approximation (DC and AC,
+first + refinement), EOB runs — must reconstruct EXACTLY the baseline
+encoder's coefficients, so progressive rows inherit the quality-100
+extraction byte-identity contract."""
+
+import random
+
+import numpy as np
+import pytest
+
+from ocr_gpu_services_spark.core.jpeg import (jpeg_decode, jpeg_encode,
+                                              jpeg_encode_color)
+from ocr_gpu_services_spark.core.jpeg_progressive import \
+    jpeg_encode_progressive
+
+
+def test_progressive_decodes_pixel_identical_to_baseline_gray():
+    rng = np.random.RandomState(0)
+    for trial in range(8):
+        h, w = rng.randint(9, 70), rng.randint(9, 70)
+        if trial % 2:
+            img = (rng.rand(h, w) * 255).astype(np.uint8)
+        else:
+            img = np.full((h, w), 255, np.uint8)
+            img[2:h // 2, 3:w // 2] = 0
+            img[h // 2:, :] = 176
+        base = jpeg_decode(jpeg_encode(img))
+        prog = jpeg_decode(jpeg_encode_progressive(img))
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_color_matches_baseline_444():
+    rng = np.random.RandomState(1)
+    rgb = (rng.rand(33, 41, 3) * 255).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode_color(rgb, subsampling="444"))
+    prog = jpeg_decode(jpeg_encode_progressive(rgb))
+    assert np.array_equal(prog, base)
+
+
+def test_eob_runs_across_flat_image():
+    # a large flat image maximizes EOB-run lengths (every AC band empty)
+    img = np.full((128, 160), 200, np.uint8)
+    assert np.array_equal(jpeg_decode(jpeg_encode_progressive(img)),
+                          jpeg_decode(jpeg_encode(img)))
+
+
+def test_progressive_page_extracts_byte_identically_to_png_twin():
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.core.png import png_encode
+    from ocr_gpu_services_spark.fixtures import imagegen
+    get_atlas()
+    rng = random.Random(77)
+    plan = imagegen.image_plan(rng, 55)
+    img = imagegen.render_image_page(plan)
+    r_png = extract_document(png_encode(img), None)
+    r_prog = extract_document(jpeg_encode_progressive(img), None)
+    assert r_prog[0] == "image" and r_prog[5] is None
+    assert r_prog[1] == r_png[1]
+    assert [s.as_dict() for s in r_prog[2]] == \
+        [s.as_dict() for s in r_png[2]]
+
+
+def test_invalid_progressive_scan_rejected():
+    # SOF0 flipped to SOF2 leaves a sequential full-band scan header,
+    # which is illegal progressive (DC scan with Se=63) — must land in
+    # the error column, never crash or silently misdecode
+    from ocr_gpu_services_spark.core.extract import extract_document
+    enc = bytearray(jpeg_encode(np.full((16, 16), 200, np.uint8)))
+    enc[enc.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(bytes(enc))
+    ct, text, _s, _dt, _cf, err = extract_document(bytes(enc), None)
+    assert ct == "image" and text == "" and "progressive" in err
+
+
+def test_progressive_rows_live_in_the_corpus():
+    from ocr_gpu_services_spark.core.sniff import probe_image_format
+    from ocr_gpu_services_spark.fixtures.gen import gen_rows
+    fmts = set()
+    for r in gen_rows("tiny"):
+        p = r["html"]
+        if p and p[:3] == b"\xff\xd8\xff":
+            fmts.add(probe_image_format(bytes(p)))
+    assert any(f and f.startswith("jpeg-prog") for f in fmts), fmts
