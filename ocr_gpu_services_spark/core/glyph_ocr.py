@@ -170,14 +170,20 @@ def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
 
     # single vectorized matching step: agreement popcount against the atlas
     # via one small matmul — for 0/1 vectors a and b,
-    # eq-count = 64 - sum(a) - sum(b) + 2*(a . b)
-    ff = flat.astype(np.float32)
+    # eq-count = 64 - sum(a) - sum(b) + 2*(a . b).  Blank cells (most of
+    # a page grid: margins, gaps, blanked symbol regions) skip the
+    # matmul entirely — they decode to " " and their conf is never read
+    # (word ranges are maximal nonspace runs), so the skip is exact.
+    blank = ~flat.any(axis=1)
+    nb_idx = np.nonzero(~blank)[0]
+    ff = flat[nb_idx].astype(np.float32)
     af = atlas.astype(np.float32)
     agree = (64.0 - ff.sum(axis=1)[:, None] - af.sum(axis=1)[None, :]
-             + 2.0 * (ff @ af.T)).astype(np.int32)           # (N, K)
-    best = agree.argmax(axis=1)
-    conf = agree.max(axis=1) / 64.0
-    blank = ~flat.any(axis=1)
+             + 2.0 * (ff @ af.T)).astype(np.int32)           # (nnb, K)
+    best = np.zeros(flat.shape[0], dtype=np.int64)
+    conf = np.zeros(flat.shape[0], dtype=np.float64)
+    best[nb_idx] = agree.argmax(axis=1)
+    conf[nb_idx] = agree.max(axis=1) / 64.0
 
     # vectorized decode: the per-cell Python loop was the kernel's
     # hottest remaining block.  Character grid in one fancy-index, word
