@@ -243,23 +243,38 @@ def jpeg_encode_color(rgb: np.ndarray, quant: int = 1,
                       subsampling: str = "444") -> bytes:
     """Baseline YCbCr JPEG from an (H, W, 3) uint8 RGB array.
 
-    ``subsampling`` is "444" (no chroma subsampling; MCU = 8x8) or
+    ``subsampling`` is "444" (no chroma subsampling; MCU = 8x8),
+    "422" (2x1 horizontally box-averaged chroma; MCU = 8x16) or
     "420" (2x2 box-averaged chroma; MCU = 16x16 with four Y blocks).
     Quant table ``quant`` fills both the luma and chroma tables — 1 is
     the fixture exactness contract (error stays within the ink/paper/
     bed classification bands, see module docstring)."""
     assert rgb.ndim == 3 and rgb.shape[2] == 3
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     h, w = rgb.shape[:2]
     ycc = _rgb_to_ycc(rgb)
     q = np.full(64, quant, dtype=np.int32)
     if subsampling == "444":
-        ys, mcu = 0x11, 8
+        ys, mcu_h, mcu_w = 0x11, 8, 8
         planes = [_pad_plane(ycc[..., c], 8) for c in range(3)]
         sched = [(0, 0, 0), (1, 0, 0), (2, 0, 0)]   # (plane, jr, jc)
+    elif subsampling == "422":
+        ys, mcu_h, mcu_w = 0x21, 8, 16
+        ypad = _pad_plane(ycc[..., 0], 8)
+        if ypad.shape[1] % 16:
+            ypad = np.concatenate([ypad, ypad[:, -8:]], axis=1)
+        sub = []
+        for c in (1, 2):
+            p = _pad_plane(ycc[..., c], 8) + 128.0
+            if p.shape[1] % 16:
+                p = np.concatenate([p, p[:, -8:]], axis=1)
+            cs = np.rint((p[:, 0::2] + p[:, 1::2]) / 2.0)
+            sub.append(cs - 128.0)
+        planes = [ypad] + sub
+        sched = [(0, 0, 0), (0, 0, 1), (1, 0, 0), (2, 0, 0)]
     else:
-        ys, mcu = 0x22, 16
+        ys, mcu_h, mcu_w = 0x22, 16, 16
         ypad = _pad_plane(ycc[..., 0], 16)
         # 2x2 box-average chroma on the padded grid, then pad to 8
         sub = []
@@ -274,13 +289,13 @@ def jpeg_encode_color(rgb: np.ndarray, quant: int = 1,
     ph, pw = planes[0].shape
     bw = _BitWriter()
     dc = [0, 0, 0]
-    for my in range(0, ph, mcu):
-        for mx in range(0, pw, mcu):
+    for my in range(0, ph, mcu_h):
+        for mx in range(0, pw, mcu_w):
             for pl, jr, jc in sched:
                 if pl == 0:
                     by, bx = my + jr * 8, mx + jc * 8
                 else:
-                    by, bx = my // (mcu // 8), mx // (mcu // 8)
+                    by, bx = my // (mcu_h // 8), mx // (mcu_w // 8)
                 dc[pl] = _encode_block(
                     bw, planes[pl][by:by + 8, bx:bx + 8], q, dc[pl])
     bw.flush()

@@ -46,7 +46,7 @@ def test_jpeg_color_roundtrip_bounds():
     g[8:24, 8:40] = 0
     g[32:40, :] = 176
     tint = tint_lut(15, -20)[g]
-    for sub in ("444", "420"):
+    for sub in ("444", "422", "420"):
         out = jpeg_decode(jpeg_encode_color(tint, subsampling=sub))
         lerr = np.abs(rgb_to_gray(out).astype(int) - g.astype(int)).max()
         assert lerr <= 2, (sub, lerr)
