@@ -53,6 +53,14 @@ def png_encode_rgb(rgb: np.ndarray) -> bytes:
     return _encode_raw(rgb.reshape(h, w * 3), 2, w, h)
 
 
+def png_encode_graya(gray: np.ndarray, alpha: int = 255) -> bytes:
+    """Encode (H, W) gray as gray+alpha PNG (color type 4)."""
+    assert gray.ndim == 2 and gray.dtype == np.uint8
+    h, w = gray.shape
+    ga = np.stack([gray, np.full((h, w), alpha, dtype=np.uint8)], axis=2)
+    return _encode_raw(ga.reshape(h, w * 2), 4, w, h)
+
+
 def png_encode_rgba(rgb: np.ndarray, alpha: int = 255) -> bytes:
     """Encode (H, W, 3) RGB as RGBA PNG (color type 6, constant alpha)."""
     assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8

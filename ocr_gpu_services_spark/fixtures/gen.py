@@ -239,6 +239,11 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
         if v < 0.70:
             return png_encode_palette(rgb)
         return png_encode_rgba(rgb)
+    if crng is not None and crng.random() < 0.25:
+        # gray+alpha PNG (color type 4): decode drops alpha, pixels and
+        # goldens identical to the plain-gray twin
+        from ..core.png import png_encode_graya
+        return png_encode_graya(img)
     return png_encode(img)
 
 
@@ -308,6 +313,8 @@ def image_row_format(rng: random.Random, i: int,
         if v < 0.70:
             return "png-palette"
         return "png-rgba"
+    if crng is not None and crng.random() < 0.25:
+        return "png-graya"
     return "png-gray"
 
 
