@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "multimodal_meta", "multimodal_resize", "video_frame_sample", "audio_window_rms",
     "url_canonicalize", "para_dedup", "json_props", "corpus_filter",
     "pii_redact", "repetition_ratio", "domain_stats", "corpus_sample",
+    "semdedup",
     "substring_dedup", "substring_dedup_strided", "decontaminate",
     "dsir_weights", "hll_distinct_tokens", "tfidf_topterms",
     "perplexity_filter", "dup_clusters",

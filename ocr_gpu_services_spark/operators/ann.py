@@ -492,3 +492,102 @@ def embedding_dup_pairs_sql(table: str = "embeddings",
                 / sqrt(list_dot_product(a.v, a.v)
                        * list_dot_product(b.v, b.v)), 4) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-dedup over embeddings (Abbas et al. 2023,
+# arXiv:2303.09540 — the published semantic-dedup recipe for web-scale
+# training corpora; the reference has no embedding pipeline, this is
+# part of the LLM-data operator family the driver mandates)
+# ---------------------------------------------------------------------------
+
+def semdedup(embeddings: DataFrame, dim: int, eps: float = 0.96,
+             nlist: int = 16, iters: int = 5,
+             id_col: str = "vec_id",
+             emb_col: str = "embedding") -> DataFrame:
+    """Semantic dedup: spherical k-means clusters (the shared
+    deterministic Lloyd trainer), then WITHIN each cluster an item is
+    dropped when a higher-priority item sits within ``eps`` cosine —
+    priority = closer to the cluster centroid (rounded cosine, vec_id
+    ascending as the tie-break), i.e. the canonical keep-the-
+    representative rule.  Returns (vec_id, cluster_id, centroid_cos,
+    kept).
+
+    Scale shape: pairwise work happens ONLY inside a cluster (the
+    equi-join key), which is SemDeDup's entire point at 10^12 rows —
+    clusters bound the quadratic term the way LSH bands do for minhash;
+    centroids are broadcast and the assignment is map-side."""
+    cents = train_ivf_centroids(embeddings, dim, nlist, iters)
+    cell_exprs = []
+    for c in range(nlist):
+        plane = F.array(*[F.lit(float(v)) for v in cents[c]])
+        cell_exprs.append(_dot(_as_double(F.col(emb_col)), plane)
+                          / F.sqrt(_dot(_as_double(F.col(emb_col)),
+                                        _as_double(F.col(emb_col)))))
+    sims = F.array(*cell_exprs)
+    cell = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    rows = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"),
+        cell.alias("cluster_id"),
+        F.round(F.array_max(sims), 4).alias("centroid_cos"))
+    a = rows.select(F.col("vec_id").alias("a_id"),
+                    F.col("emb").alias("a_emb"),
+                    F.col("cluster_id").alias("cluster_id"),
+                    F.col("centroid_cos").alias("a_cc"))
+    b = rows.select(F.col("vec_id").alias("b_id"),
+                    F.col("emb").alias("b_emb"),
+                    F.col("cluster_id").alias("cluster_id"),
+                    F.col("centroid_cos").alias("b_cc"))
+    dropped = (a.join(b, "cluster_id")
+               .filter((F.col("a_cc") > F.col("b_cc"))
+                       | ((F.col("a_cc") == F.col("b_cc"))
+                          & (F.col("a_id") < F.col("b_id"))))
+               .filter(cosine_sim_col("a_emb", "b_emb") >= eps)
+               .select(F.col("b_id").alias("vec_id"))
+               .distinct())
+    return (rows.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+            .select("vec_id", "cluster_id", "centroid_cos",
+                    F.when(F.col("_d").isNull(), 1).otherwise(0)
+                     .alias("kept")))
+
+
+def semdedup_numpy(ids: np.ndarray, mat: np.ndarray, eps: float = 0.96,
+                   nlist: int = 16, iters: int = 5) -> list[tuple]:
+    """Single-machine twin of ``semdedup`` (oracle): replays the exact
+    quantized Lloyd training, assignment, rounded cosines and the
+    higher-priority-neighbor drop rule."""
+    M = mat.astype(np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    Mn = M / norms[:, None]
+    Q = np.rint(Mn * QUANT).astype(np.int64)
+    C = _hyperplanes(M.shape[1], nlist, seed="ivf-init")
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(iters):
+        assign = (Mn @ C.T).argmax(axis=1)
+        new = C.copy()
+        for c in range(nlist):
+            sel = Q[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0).astype(np.float64)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    new[c] = v / n
+        C = new
+    sims = Mn @ C.T
+    assign = sims.argmax(axis=1)
+    ccos = np.round(sims.max(axis=1), 4)
+    out = []
+    for c in range(nlist):
+        sel = np.nonzero(assign == c)[0]
+        if sel.size == 0:
+            continue
+        sub_ids = ids[sel]
+        cc = ccos[sel]
+        cos = np.round((M[sel] @ M[sel].T)
+                       / np.outer(norms[sel], norms[sel]), 4)
+        for j in range(sel.size):
+            higher = ((cc > cc[j])
+                      | ((cc == cc[j]) & (sub_ids < sub_ids[j])))
+            kept = 0 if bool((cos[j][higher] >= eps).any()) else 1
+            out.append((int(sub_ids[j]), int(c), float(cc[j]), kept))
+    return sorted(out)

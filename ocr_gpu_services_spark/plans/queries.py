@@ -274,6 +274,48 @@ def ann_ivf_topk(spark, sf_dir):
                         dim=64, k=5)
 
 
+def _semdedup_truth_values() -> str:
+    """Expected semdedup rows from the pure-numpy twin
+    (ann.semdedup_numpy) over the gate corpus — training, assignment,
+    rounded cosines and the higher-priority-neighbor drop rule all
+    replayed single-machine."""
+    import duckdb
+
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    vals = ", ".join("(%d, %d, %r, %d)" % t
+                     for t in ann.semdedup_numpy(ids, mat))
+    return ("SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "CAST(cluster_id AS INTEGER) AS cluster_id, "
+            "CAST(centroid_cos AS DOUBLE) AS centroid_cos, "
+            "CAST(kept AS INTEGER) AS kept "
+            "FROM (VALUES %s) AS t(vec_id, cluster_id, centroid_cos, "
+            "kept)" % vals)
+
+
+_semdedup_truth_values.path_dependent = True  # reads /root/testdata
+
+
+@q("semdedup", _semdedup_truth_values)
+def semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup for training
+    corpora — spherical k-means clusters (shared deterministic Lloyd
+    trainer, driver state = one (nlist, dim) matrix), then drop any
+    item with a >= eps cosine neighbor of higher priority (closer to
+    the centroid) INSIDE its cluster.  The cluster id is the equi-join
+    key, so the pairwise term is bounded per cluster — the published
+    recipe's scale story, same shape as the LSH band join.  Oracle =
+    the numpy twin of the whole pipeline."""
+    return ann.semdedup(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
 # ===========================================================================
 # geometry family (P7/P8/J5/A8 over deterministic part-derived boxes)
 # ===========================================================================

@@ -105,3 +105,49 @@ def test_dup_clusters_long_chain_converges_or_raises(spark):
     assert got == {(i, 1, n) for i in range(1, n + 1)}
     with pytest.raises(RuntimeError, match="no fixed point"):
         dup_clusters(pairs, max_iters=3).collect()
+
+
+def test_semdedup_matches_numpy_twin_and_drop_semantics(spark):
+    """Engine semdedup == single-machine twin on a crafted corpus with
+    planted near-duplicate groups; the kept set keeps exactly the
+    highest-priority member of each eps-ball."""
+    import numpy as np
+
+    from ocr_gpu_services_spark.operators import ann
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(12, 16)
+    vecs, ids = [], []
+    vid = 0
+    for b in base:
+        for _copy in range(rng.randint(1, 4)):
+            # tiny perturbation: stays within the 0.96 eps-ball
+            vecs.append(b + rng.randn(16) * 0.01)
+            ids.append(vid)
+            vid += 1
+    mat = np.array(vecs)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
+        "vec_id long, embedding array<float>")
+    # the engine consumes float32 embeddings — replay that cast in the twin
+    mat32 = mat.astype(np.float32).astype(np.float64)
+    want = set(ann.semdedup_numpy(np.array(ids), mat32, nlist=4))
+    got = {(r.vec_id, r.cluster_id, r.centroid_cos, r.kept)
+           for r in ann.semdedup(df, dim=16, nlist=4).collect()}
+    assert got == want
+    # every dropped row has a kept higher-priority eps-neighbor
+    rows = {r[0]: r for r in want}
+    norms = np.linalg.norm(mat32, axis=1)
+    for vid_, cl, cc, kept in want:
+        if kept:
+            continue
+        found = False
+        for vid2, cl2, cc2, _k2 in want:
+            if vid2 == vid_ or cl2 != cl:
+                continue
+            cos = round(float(mat32[vid2] @ mat32[vid_]
+                              / (norms[vid2] * norms[vid_])), 4)
+            if cos >= 0.96 and ((cc2, -vid2) > (cc, -vid_)):
+                found = True
+                break
+        assert found, vid_
