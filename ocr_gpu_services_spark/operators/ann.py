@@ -513,10 +513,15 @@ def semdedup(embeddings: DataFrame, dim: int, eps: float = 0.96,
     representative rule.  Returns (vec_id, cluster_id, centroid_cos,
     kept).
 
-    Scale shape: pairwise work happens ONLY inside a cluster (the
-    equi-join key), which is SemDeDup's entire point at 10^12 rows —
-    clusters bound the quadratic term the way LSH bands do for minhash;
-    centroids are broadcast and the assignment is map-side."""
+    Scale shape: pairwise work happens ONLY inside a cluster — which is
+    SemDeDup's entire point at 10^12 rows: clusters bound the quadratic
+    term the way LSH bands do for minhash.  Centroids are broadcast,
+    the assignment is map-side, and the per-cluster scoring is ONE
+    grouped Arrow batch with a dense BLAS matmul (``applyInPandas``),
+    never a per-pair interpreted join — the same kernel discipline as
+    ``embedding_dup_pairs_lsh``.  One shuffle total (groupBy cluster)."""
+    import pandas as pd
+
     cents = train_ivf_centroids(embeddings, dim, nlist, iters)
     cell_exprs = []
     for c in range(nlist):
@@ -530,25 +535,26 @@ def semdedup(embeddings: DataFrame, dim: int, eps: float = 0.96,
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"),
         cell.alias("cluster_id"),
         F.round(F.array_max(sims), 4).alias("centroid_cos"))
-    a = rows.select(F.col("vec_id").alias("a_id"),
-                    F.col("emb").alias("a_emb"),
-                    F.col("cluster_id").alias("cluster_id"),
-                    F.col("centroid_cos").alias("a_cc"))
-    b = rows.select(F.col("vec_id").alias("b_id"),
-                    F.col("emb").alias("b_emb"),
-                    F.col("cluster_id").alias("cluster_id"),
-                    F.col("centroid_cos").alias("b_cc"))
-    dropped = (a.join(b, "cluster_id")
-               .filter((F.col("a_cc") > F.col("b_cc"))
-                       | ((F.col("a_cc") == F.col("b_cc"))
-                          & (F.col("a_id") < F.col("b_id"))))
-               .filter(cosine_sim_col("a_emb", "b_emb") >= eps)
-               .select(F.col("b_id").alias("vec_id"))
-               .distinct())
-    return (rows.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
-            .select("vec_id", "cluster_id", "centroid_cos",
-                    F.when(F.col("_d").isNull(), 1).otherwise(0)
-                     .alias("kept")))
+
+    def dedup_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        M = np.array(list(pdf["emb"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        cc = pdf["centroid_cos"].to_numpy(dtype=np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        cos = np.round((M @ M.T) / np.outer(norms, norms), 4)
+        # higher[j, i]: item i outranks item j (closer to the centroid,
+        # id ascending as tie-break)
+        higher = (cc[None, :] > cc[:, None]) \
+            | ((cc[None, :] == cc[:, None]) & (ids[None, :] < ids[:, None]))
+        dropped = ((cos >= eps) & higher).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": ids, "cluster_id": pdf["cluster_id"].to_numpy(),
+            "centroid_cos": cc,
+            "kept": np.where(dropped, 0, 1).astype(np.int32)})
+
+    return rows.groupBy("cluster_id").applyInPandas(
+        dedup_cluster,
+        "vec_id long, cluster_id int, centroid_cos double, kept int")
 
 
 def semdedup_numpy(ids: np.ndarray, mat: np.ndarray, eps: float = 0.96,
