@@ -60,7 +60,8 @@ _GATE_PRIORITY = [
     # operators touched/added this round (JPEG/PNG decode paths feed
     # these; image_formats is the new S3 color-breadth gate)
     "image_formats", "multimodal_meta", "multimodal_resize",
-    "pdf_scan_ocr", "dup_clusters",
+    "pdf_scan_ocr", "dup_clusters", "tfidf_topterms",
+    "perplexity_filter",
 ]
 
 
