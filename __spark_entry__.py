@@ -61,7 +61,7 @@ _GATE_PRIORITY = [
     # these; image_formats is the new S3 color-breadth gate)
     "image_formats", "multimodal_meta", "multimodal_resize",
     "pdf_scan_ocr", "dup_clusters", "tfidf_topterms",
-    "perplexity_filter",
+    "perplexity_filter", "ocr_line_spans", "ocr_word_spans",
 ]
 
 
