@@ -67,6 +67,7 @@ _IMG_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
 _IMG_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
 _IMG_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _IMG_GRAY_RE = re.compile(rb"/ColorSpace\s*/DeviceGray\b")
+_IMG_RGB_RE = re.compile(rb"/ColorSpace\s*/DeviceRGB\b")
 _IMG_DCT_RE = re.compile(rb"/Filter\s*/DCTDecode\b")
 
 
@@ -476,12 +477,16 @@ def _layout_lines(runs: list[_Run], page_width: float):
 
 
 def _page_scan_images(body: bytes, objs: dict[int, bytes]):
-    """Gray rasters of the page's image XObjects (document order).
+    """Gray-equivalent rasters of the page's image XObjects (document
+    order).
 
-    Subset: /DeviceGray 8-bit, as a Flate/raw raster OR a /DCTDecode
-    (embedded baseline JPEG — what real scan-to-PDF tools emit,
-    decoded by core/jpeg.py).  Returns [] when the page has no
-    decodable image."""
+    Subset: /DeviceGray OR /DeviceRGB 8-bit, as a Flate/raw raster OR
+    a /DCTDecode (embedded baseline/progressive JPEG — what real
+    scan-to-PDF tools emit, decoded by core/jpeg).  Color rasters
+    convert through the cv2-exact luma bridge (core/color.py), the
+    same seam the standalone image route uses.  Returns [] when the
+    page has no decodable image."""
+    from .color import rgb_to_gray
     out = []
     xm = _XOBJ_DICT_RE.search(body)
     if xm is None:
@@ -493,7 +498,8 @@ def _page_scan_images(body: bytes, objs: dict[int, bytes]):
         wm = _IMG_WIDTH_RE.search(xbody)
         hm = _IMG_HEIGHT_RE.search(xbody)
         bm = _IMG_BPC_RE.search(xbody)
-        if not (wm and hm and _IMG_GRAY_RE.search(xbody)):
+        is_rgb = bool(_IMG_RGB_RE.search(xbody))
+        if not (wm and hm and (is_rgb or _IMG_GRAY_RE.search(xbody))):
             continue
         if bm and int(bm.group(1)) != 8:
             continue
@@ -508,15 +514,20 @@ def _page_scan_images(body: bytes, objs: dict[int, bytes]):
             except (ValueError, IndexError):
                 continue
             if img.ndim == 3:        # color /DCTDecode raster -> luma
-                from .color import rgb_to_gray
                 img = rgb_to_gray(img)
             if img.shape == (h, w):
                 out.append(img)
             continue
-        if len(raw) < w * h:
+        nch = 3 if is_rgb else 1
+        if len(raw) < w * h * nch:
             continue
-        out.append(np.frombuffer(raw[:w * h], dtype=np.uint8)
-                   .reshape(h, w))
+        if is_rgb:
+            out.append(rgb_to_gray(
+                np.frombuffer(raw[:w * h * 3], dtype=np.uint8)
+                .reshape(h, w, 3)))
+        else:
+            out.append(np.frombuffer(raw[:w * h], dtype=np.uint8)
+                       .reshape(h, w))
     return out
 
 

@@ -127,10 +127,16 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
             rrng = random.Random(f"pdfrot:{i}:{p}")
             rot = rrng.choice((90, 180, 270)) \
                 if rrng.random() < 0.25 else 0
+            # ~30% of scan rasters are COLOR (/DeviceRGB Flate or color
+            # /DCTDecode): exact-luma colorization (or the quality-100
+            # JPEG band contract) keeps extraction byte-identical
+            crng = random.Random(f"pdfcolor:{i}:{p}")
+            color = crng.random() < 0.30
             pages.append({"kind": "scan",
                           "plan": imagegen.image_plan(rng, i * 7 + p),
                           "xdct": rng.random() < 0.30,
-                          "rotate": rot})
+                          "rotate": rot, "color": color,
+                          "color_key": f"pdfcolor:{i}:{p}"})
         else:
             n_lines = rng.randint(4, 10)
             lines = [_sentence(rng, rng.randint(4, 9))
@@ -154,9 +160,15 @@ def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
         if pg["kind"] == "scan":
             img = imagegen.render_image_page(pg["plan"])
             rot = pg.get("rotate", 0)
+            if pg.get("color") and allow_dct:
+                # color rasters only at the correctness scales (same
+                # gating as DCT: bench corpus stays byte-comparable)
+                from .colorize import colorize_exact
+                crng = random.Random(pg["color_key"] + ":tint")
+                img = colorize_exact(img, crng)
             if pg.get("xdct") and allow_dct:
                 pages.append(DctScanPage(img, rotate=rot))
-            elif rot:
+            elif rot or img.ndim == 3:
                 pages.append(ScanPage(img, rotate=rot))
             else:
                 pages.append(img)

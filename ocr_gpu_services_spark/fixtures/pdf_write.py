@@ -217,7 +217,8 @@ def build_pdf(pages: list, *, compress: bool = False,
                         _np.rot90(arr, rotate // 90))
             else:
                 rotate, arr = 0, page
-            h, w = arr.shape
+            h, w = arr.shape[:2]
+            cs = "/DeviceRGB" if arr.ndim == 3 else "/DeviceGray"
             objs[pnum] = page_obj(
                 cnum, f"/XObject << /Im0 {extra} 0 R >>", rotate=rotate)
             # paint the scan across the page; the extractor reads the
@@ -225,17 +226,19 @@ def build_pdf(pages: list, *, compress: bool = False,
             ops = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode("latin-1")
             objs[cnum] = stream_obj(ops)
             if pkind == "dct":
-                from ..core.jpeg import jpeg_encode
+                from ..core.jpeg import jpeg_encode, jpeg_encode_color
+                payload = jpeg_encode_color(arr, subsampling="444") \
+                    if arr.ndim == 3 else jpeg_encode(arr)
                 objs[extra] = stream_obj(
-                    jpeg_encode(arr),
+                    payload,
                     f"/Type /XObject /Subtype /Image /Width {w} "
-                    f"/Height {h} /ColorSpace /DeviceGray "
+                    f"/Height {h} /ColorSpace {cs} "
                     f"/BitsPerComponent 8 /Filter /DCTDecode ")
             else:
                 objs[extra] = stream_obj(
                     zlib.compress(arr.tobytes()),
                     f"/Type /XObject /Subtype /Image /Width {w} "
-                    f"/Height {h} /ColorSpace /DeviceGray "
+                    f"/Height {h} /ColorSpace {cs} "
                     f"/BitsPerComponent 8 /Filter /FlateDecode ")
     objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 

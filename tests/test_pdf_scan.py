@@ -199,3 +199,33 @@ def test_rotate_flag_page_extracts_byte_identically_to_upright_twin():
         if tested >= 6:
             break
     assert tested >= 6
+
+
+def test_color_scan_page_extracts_byte_identically_to_gray_twin():
+    """/DeviceRGB rasters (Flate and color /DCTDecode) must extract
+    byte-identically to the gray twin via the cv2-exact luma bridge."""
+    import random
+
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.fixtures.gen import _pdf_plan, _render_pdf
+    get_atlas()
+    tested = 0
+    for i in range(200):
+        rng = random.Random(i * 977)
+        plan = _pdf_plan(rng, i)
+        if not any(p["kind"] == "scan" and p.get("color")
+                   for p in plan["pages"]):
+            continue
+        rc = extract_document(_render_pdf(plan, allow_dct=True), None)
+        plan0 = {**plan, "pages": [
+            {**p, "color": False} if p["kind"] == "scan" else p
+            for p in plan["pages"]]}
+        rg = extract_document(_render_pdf(plan0, allow_dct=True), None)
+        assert rc[5] is None and rg[5] is None
+        assert rc[1] == rg[1]
+        assert [s.as_dict() for s in rc[2]] == [s.as_dict() for s in rg[2]]
+        tested += 1
+        if tested >= 6:
+            break
+    assert tested >= 6
