@@ -84,3 +84,52 @@ def test_progressive_rows_live_in_the_corpus():
         if p and p[:3] == b"\xff\xd8\xff":
             fmts.add(probe_image_format(bytes(p)))
     assert any(f and f.startswith("jpeg-prog") for f in fmts), fmts
+
+
+def test_progressive_nonunit_quant_matches_baseline():
+    # coefficient identity is quant-independent
+    rng = np.random.RandomState(4)
+    img = (rng.rand(41, 57) * 255).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(img, quant=8))
+    prog = jpeg_decode(jpeg_encode_progressive(img, quant=8))
+    assert np.array_equal(prog, base)
+
+
+def test_bitwriter_matches_naive_emitter():
+    """The vectorized token packer must be byte-identical to the
+    per-bit emitter (stuffing, padding, empty stream included)."""
+    from ocr_gpu_services_spark.core.jpeg import _BitWriter
+
+    class Naive:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.nbits = 0
+
+        def write(self, code, length):
+            self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+            self.nbits += length
+            while self.nbits >= 8:
+                self.nbits -= 8
+                byte = (self.acc >> self.nbits) & 0xFF
+                self.buf.append(byte)
+                if byte == 0xFF:
+                    self.buf.append(0x00)
+
+        def flush(self):
+            if self.nbits:
+                pad = 8 - self.nbits
+                self.write((1 << pad) - 1, pad)
+
+    rng = random.Random(0)
+    for _trial in range(40):
+        toks = [(rng.randrange(1 << ln), ln) for ln in
+                [rng.randrange(1, 17)
+                 for _ in range(rng.randrange(0, 300))]]
+        old, new = Naive(), _BitWriter()
+        for c, ln in toks:
+            old.write(c, ln)
+            new.write(c, ln)
+        old.flush()
+        new.flush()
+        assert bytes(old.buf) == bytes(new.buf)
