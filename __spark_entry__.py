@@ -54,6 +54,7 @@ _GATE_PRIORITY = [
     "qr_extract",                       # qrlite -> core/qrcode.py (r4)
     "barcode_extract",                  # EAN-13 (new this round)
     "semdedup",                         # new this round
+    "ann_ivf_topk",                     # sampled trainer + Arrow assign
     # round-5: rotated out of the r4 window, last green r1-r3
     "deskew_angle", "detect_document", "argmin_cost",
     "shared_vocab_multiset", "signature_spans",

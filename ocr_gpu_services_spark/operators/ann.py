@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -182,10 +183,95 @@ def lsh_topk_sql(query_ids: list[int], dim: int, k: int = 5,
 # IVF: k-means coarse quantizer + probed search (the second scale path)
 # ---------------------------------------------------------------------------
 
+# FAISS-style training-sample bound: k-means centroids need only a few
+# hundred vectors per centroid (FAISS clamps at 256/centroid), so the
+# trainer sees a bounded deterministic sample — NOT the corpus
+TRAIN_SAMPLE_CAP = 4096
+
+
+def _train_stride(n: int) -> int:
+    """Deterministic id-stride that lands ~TRAIN_SAMPLE_CAP sample rows
+    out of ``n`` (assumes roughly dense ids; the hard `limit` below makes
+    the bound strict regardless)."""
+    return max(1, -(-n // TRAIN_SAMPLE_CAP))
+
+
+def lloyd_centroids(sample: np.ndarray, nlist: int,
+                    iters: int = 5) -> np.ndarray:
+    """Exact quantized spherical Lloyd over an in-memory sample matrix —
+    the SINGLE training kernel shared by the engine's sampled trainer,
+    the full-corpus distributed trainer's update rule, and the numpy
+    oracle twins, so engine and oracle centroids are identical by
+    construction (same function, same input).  Centroids init from md5
+    bits (no data-dependent RNG); per-cluster sums are exact int64 on the
+    2^-30 grid; argmax ties break to the lowest cluster id; empty
+    clusters keep their previous centroid."""
+    M = sample.astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Q = np.rint(Mn * QUANT).astype(np.int64)
+    C = _hyperplanes(M.shape[1], nlist, seed="ivf-init")
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(iters):
+        assign = (Mn @ C.T).argmax(axis=1)
+        new = C.copy()
+        for c in range(nlist):
+            sel = Q[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0).astype(np.float64)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    new[c] = v / n
+        C = new
+    return C
+
+
+def train_sample_numpy(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Twin-side replica of the sampled trainer's row selection: ids on
+    the shared stride grid, ascending, truncated to the cap."""
+    order = np.argsort(ids, kind="stable")
+    s = _train_stride(len(ids))
+    sel = order[ids[order] % s == 0][:TRAIN_SAMPLE_CAP]
+    return mat[sel]
+
+
+def train_ivf_centroids_sampled(embeddings: DataFrame, dim: int,
+                                nlist: int = 16, iters: int = 5,
+                                id_col: str = "vec_id",
+                                emb_col: str = "embedding") -> np.ndarray:
+    """Sampled k-means training — the scale path (and the default).
+
+    FAISS's own IVF training clamps the training set to a few hundred
+    vectors per centroid because Lloyd converges on a sample; training on
+    the full corpus buys nothing but ``iters`` sequential full scans.  So:
+    ONE narrow filtered scan collects a bounded deterministic sample
+    (ids on a stride grid, ascending, hard ``limit`` cap — O(cap·dim)
+    driver state, ~2 MB at the cap) and the exact quantized Lloyd loop
+    (``lloyd_centroids``) runs on the driver in microseconds.  Versus the
+    distributed trainer this removes 5 sequential jobs + a full-corpus
+    persist per training — at 10^12 rows that is iters× the dominant scan
+    cost; the sample scan is a single cheap pass.  The numpy oracle twins
+    select the identical sample (``train_sample_numpy``) and call the
+    identical kernel, so centroids match bit-for-bit by construction."""
+    n = embeddings.count()
+    s = _train_stride(n)
+    pdf = (embeddings
+           .filter(F.col(id_col) % s == 0)
+           .select(id_col, emb_col)
+           .orderBy(id_col)
+           .limit(TRAIN_SAMPLE_CAP)
+           .toPandas())          # Arrow path: row-collect of array cols
+    #                              deserializes ~10x slower via Py4J
+    sample = np.array(list(pdf[emb_col]), dtype=np.float64)
+    return lloyd_centroids(sample, nlist, iters)
+
+
 def train_ivf_centroids(embeddings: DataFrame, dim: int, nlist: int = 16,
                         iters: int = 5,
                         emb_col: str = "embedding") -> np.ndarray:
-    """Deterministic distributed spherical k-means (Lloyd) — the iterative
+    """FULL-CORPUS deterministic distributed spherical k-means (Lloyd) —
+    retained as the exact-trainer alternative for corpora where sampling
+    is not wanted; the serving queries use ``train_ivf_centroids_sampled``
+    (same update rule over a bounded sample).  The iterative
     algorithm family on Spark done the idiomatic way: the driver holds ONLY
     the (nlist, dim) centroid matrix; each iteration is one Arrow-batched
     partial-sum pass (`mapInPandas`: per batch, assign = argmax dot, emit
@@ -271,20 +357,7 @@ def ivf_topk_numpy(ids: np.ndarray, mat: np.ndarray, query_ids: list[int],
     (q_id, n_id, rank, cosine) tuples."""
     M = mat.astype(np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    Q = np.rint(Mn * QUANT).astype(np.int64)   # same 2^-30 grid as engine
-    C = _hyperplanes(M.shape[1], nlist, seed="ivf-init")
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-    for _ in range(iters):
-        assign = (Mn @ C.T).argmax(axis=1)
-        new = C.copy()
-        for c in range(nlist):
-            sel = Q[assign == c]
-            if len(sel):
-                v = sel.sum(axis=0).astype(np.float64)  # exact int sum
-                n = np.linalg.norm(v)
-                if n > 0:
-                    new[c] = v / n
-        C = new
+    C = lloyd_centroids(train_sample_numpy(ids, M), nlist, iters)
     assign = (Mn @ C.T).argmax(axis=1)
     norms = np.linalg.norm(M, axis=1)
     out = []
@@ -301,6 +374,42 @@ def ivf_topk_numpy(ids: np.ndarray, mat: np.ndarray, query_ids: list[int],
     return sorted(out)
 
 
+def _assign_cell_udf(cents: np.ndarray):
+    """Vectorized nearest-centroid assignment: the (nlist, dim) centroid
+    matrix rides the UDF closure (broadcast by Spark's task serializer)
+    and each Arrow batch is ONE BLAS matmul + argmax — the same kernel
+    discipline as ``embedding_dup_pairs``, and numerically the numpy
+    twin's own expression (argmax ties break to the lowest cluster id,
+    numpy argmax-first semantics on both sides)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign(col: pd.Series) -> pd.Series:
+        A = np.array(list(col), dtype=np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        return pd.Series((An @ cents.T).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def _assign_cell_cos_udf(cents: np.ndarray):
+    """As `_assign_cell_udf` but also returns the (rounded) cosine to the
+    winning centroid — numpy ``round`` (half-even) on BOTH engine and
+    twin, removing the F.round(HALF_UP)-vs-np.round seam entirely."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cell:int, ccos:double>")
+    def assign(col: pd.Series) -> pd.DataFrame:
+        A = np.array(list(col), dtype=np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        sims = An @ cents.T
+        return pd.DataFrame({
+            "cell": sims.argmax(axis=1).astype(np.int32),
+            "ccos": np.round(sims.max(axis=1), 4)})
+
+    return assign
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
              k: int = 5, nlist: int = 16, nprobe: int = 8,
              iters: int = 5) -> DataFrame:
@@ -312,33 +421,30 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
     parameters the probed cells provably contain the exact top-k (verified
     equal to `cosine_topk` at every test SF), which is what lets the
     registry entry share the exact oracle SQL."""
-    cents = train_ivf_centroids(embeddings, dim, nlist, iters)
-    cell_exprs = []
-    for c in range(nlist):
-        plane = F.array(*[F.lit(float(v)) for v in cents[c]])
-        cell_exprs.append(_dot(_as_double(F.col("embedding")), plane)
-                          / F.sqrt(_dot(_as_double(F.col("embedding")),
-                                        _as_double(F.col("embedding")))))
-    sims = F.array(*cell_exprs)
-    # argmax with lowest-index tie-break
-    cell = F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    cents = train_ivf_centroids_sampled(embeddings, dim, nlist, iters)
     corpus = embeddings.select(
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"),
-        cell.alias("cell"))
+        _assign_cell_udf(cents)(F.col("embedding")).alias("cell"))
 
-    q = (embeddings.filter(F.col("vec_id").isin(query_ids))
-         .select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb"), sims.alias("_sims")))
-    # nprobe nearest cells per query: rank the centroid similarities
-    probe = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(F.col("_sims"),
-                            lambda s, i: F.struct((-s).alias("neg"),
-                                                  i.alias("cell")))),
-            lambda st: st["cell"]),
-        1, nprobe)
-    q = q.select("q_id", "q_emb", F.explode(probe).alias("cell"))
+    # the query side is a BOUNDED id list by API contract — collect its
+    # embeddings (Arrow, O(|Q|·dim)) and rank the nprobe nearest cells
+    # driver-side in numpy: this is the twin's own argsort, and it
+    # replaces a giant per-query literal expression tree (nlist×dim
+    # F.lit nodes) whose Catalyst analysis alone cost seconds per call
+    qpdf = (embeddings.filter(F.col("vec_id").isin(query_ids))
+            .select("vec_id", "embedding").toPandas())
+    qids_np = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    Qm = np.array(list(qpdf["embedding"]), dtype=np.float64)
+    Qn = Qm / np.linalg.norm(Qm, axis=1, keepdims=True)
+    spark = embeddings.sparkSession
+    pairs = []
+    for j in range(len(qids_np)):
+        probe = np.argsort(-(cents @ Qn[j]), kind="stable")[:nprobe]
+        for c in probe:
+            pairs.append((int(qids_np[j]),
+                          [float(x) for x in Qm[j]], int(c)))
+    q = spark.createDataFrame(pairs, "q_id long, q_emb array<double>, "
+                                     "cell int")
 
     scored = (corpus.join(F.broadcast(q), "cell")
               .filter(F.col("n_id") != F.col("q_id"))
@@ -522,19 +628,15 @@ def semdedup(embeddings: DataFrame, dim: int, eps: float = 0.96,
     ``embedding_dup_pairs_lsh``.  One shuffle total (groupBy cluster)."""
     import pandas as pd
 
-    cents = train_ivf_centroids(embeddings, dim, nlist, iters)
-    cell_exprs = []
-    for c in range(nlist):
-        plane = F.array(*[F.lit(float(v)) for v in cents[c]])
-        cell_exprs.append(_dot(_as_double(F.col(emb_col)), plane)
-                          / F.sqrt(_dot(_as_double(F.col(emb_col)),
-                                        _as_double(F.col(emb_col)))))
-    sims = F.array(*cell_exprs)
-    cell = F.array_position(sims, F.array_max(sims)).cast("int") - 1
-    rows = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"),
-        cell.alias("cluster_id"),
-        F.round(F.array_max(sims), 4).alias("centroid_cos"))
+    cents = train_ivf_centroids_sampled(embeddings, dim, nlist, iters,
+                                        id_col=id_col, emb_col=emb_col)
+    ac = _assign_cell_cos_udf(cents)(F.col(emb_col))
+    rows = (embeddings
+            .select(F.col(id_col).alias("vec_id"),
+                    F.col(emb_col).alias("emb"), ac.alias("_ac"))
+            .select("vec_id", "emb",
+                    F.col("_ac.cell").alias("cluster_id"),
+                    F.col("_ac.ccos").alias("centroid_cos")))
 
     def dedup_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
         M = np.array(list(pdf["emb"]), dtype=np.float64)
@@ -565,20 +667,7 @@ def semdedup_numpy(ids: np.ndarray, mat: np.ndarray, eps: float = 0.96,
     M = mat.astype(np.float64)
     norms = np.linalg.norm(M, axis=1)
     Mn = M / norms[:, None]
-    Q = np.rint(Mn * QUANT).astype(np.int64)
-    C = _hyperplanes(M.shape[1], nlist, seed="ivf-init")
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-    for _ in range(iters):
-        assign = (Mn @ C.T).argmax(axis=1)
-        new = C.copy()
-        for c in range(nlist):
-            sel = Q[assign == c]
-            if len(sel):
-                v = sel.sum(axis=0).astype(np.float64)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    new[c] = v / n
-        C = new
+    C = lloyd_centroids(train_sample_numpy(ids, M), nlist, iters)
     sims = Mn @ C.T
     assign = sims.argmax(axis=1)
     ccos = np.round(sims.max(axis=1), 4)

@@ -267,9 +267,11 @@ _ivf_truth_values.path_dependent = True  # reads /root/testdata directly
 @q("ann_ivf_topk", _ivf_truth_values)
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (the k-means coarse-quantizer scale path,
-    complementing the hyperplane LSH one).  Iterative distributed Lloyd
-    training with driver-side state = one (nlist, dim) matrix; oracle =
-    the numpy twin of the full pipeline (see _ivf_truth_values)."""
+    complementing the hyperplane LSH one).  FAISS-style sampled Lloyd
+    training (bounded deterministic sample, driver-side exact kernel),
+    vectorized Arrow assignment, probe cells ranked driver-side for the
+    bounded query set; oracle = the numpy twin of the full pipeline
+    (see _ivf_truth_values)."""
     return ann.ivf_topk(_t(spark, sf_dir, "embeddings"), _ANN_QIDS,
                         dim=64, k=5)
 
@@ -306,8 +308,8 @@ _semdedup_truth_values.path_dependent = True  # reads /root/testdata
 @q("semdedup", _semdedup_truth_values)
 def semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup for training
-    corpora — spherical k-means clusters (shared deterministic Lloyd
-    trainer, driver state = one (nlist, dim) matrix), then drop any
+    corpora — spherical k-means clusters (shared sampled Lloyd trainer,
+    driver state = one (nlist, dim) matrix), then drop any
     item with a >= eps cosine neighbor of higher priority (closer to
     the centroid) INSIDE its cluster.  The cluster id is the equi-join
     key, so the pairwise term is bounded per cluster — the published

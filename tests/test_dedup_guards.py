@@ -151,3 +151,40 @@ def test_semdedup_matches_numpy_twin_and_drop_semantics(spark):
                 found = True
                 break
         assert found, vid_
+
+
+def test_distributed_trainer_matches_inmemory_lloyd(spark):
+    """The retained full-corpus distributed trainer (quantized integer
+    partial sums across partitions) must produce the same centroids as
+    the shared in-memory Lloyd kernel fed the whole corpus — the
+    documented equivalence that lets the serving queries use the sampled
+    path while the exact-trainer alternative stays correct."""
+    import numpy as np
+    from ocr_gpu_services_spark.operators import ann
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ann.train_ivf_centroids(e, dim=64, nlist=8, iters=3)
+    rows = e.select("vec_id", "embedding").collect()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    want = ann.lloyd_centroids(mat, nlist=8, iters=3)
+    # assignment dots differ in ulps (sequential vs BLAS) but the update
+    # itself is exact integer — centroids agree to float noise unless an
+    # argmax tie flips, which the md5-seeded corpus does not produce
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_sampled_trainer_matches_twin_selection(spark):
+    """Engine-side sample selection (filter stride + orderBy + limit)
+    must equal the numpy twin's selection rule, so sampled centroids are
+    bit-identical engine-vs-oracle by construction."""
+    import numpy as np
+    from ocr_gpu_services_spark.operators import ann
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ann.train_ivf_centroids_sampled(e, dim=64, nlist=8, iters=3)
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    want = ann.lloyd_centroids(ann.train_sample_numpy(ids, mat),
+                               nlist=8, iters=3)
+    assert np.array_equal(got, want)
