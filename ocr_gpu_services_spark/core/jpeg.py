@@ -193,21 +193,64 @@ def _huffman_segments() -> bytes:
     return bytes(out)
 
 
-def jpeg_encode(img: np.ndarray, quant: int = 1) -> bytes:
+class _RestartScan:
+    """Splits entropy-coded data into DRI restart segments: each segment
+    is independently flushed (bit-padded with 1s, 0xFF bytes stuffed) and
+    segments are separated by RST0..RST7 markers cycling mod 8; DC
+    predictors reset at every marker (T.81 §F.1.2.3 / E.1.4)."""
+
+    def __init__(self, interval: int):
+        self.interval = interval
+        self.bw = _BitWriter()
+        self.scan = bytearray()
+        self.mcu = 0
+        self.rst = 0
+
+    def next_mcu(self) -> bool:
+        """Call before each MCU; True -> the caller must reset its DC
+        predictors (a restart marker was just emitted)."""
+        restart = bool(self.interval) and self.mcu > 0 \
+            and self.mcu % self.interval == 0
+        if restart:
+            self.bw.flush()
+            self.scan += self.bw.buf
+            self.scan += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) & 7
+            self.bw = _BitWriter()
+        self.mcu += 1
+        return restart
+
+    def finish(self) -> bytes:
+        self.bw.flush()
+        self.scan += self.bw.buf
+        return bytes(self.scan)
+
+
+def _dri_segment(restart_interval: int) -> bytes:
+    return b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big") \
+        if restart_interval else b""
+
+
+def jpeg_encode(img: np.ndarray, quant: int = 1,
+                restart_interval: int = 0) -> bytes:
     """Grayscale baseline JPEG; ``quant`` fills the whole quantization
-    table (1 = the exactness contract above)."""
+    table (1 = the exactness contract above).  ``restart_interval`` > 0
+    emits a DRI segment plus RSTn markers every that-many MCUs — the
+    shape camera/scanner firmware emits for error resilience."""
     h, w = img.shape
     q = np.full(64, quant, dtype=np.int32)
     padded = _pad_plane(img, 8)
     ph, pw = padded.shape
 
-    bw = _BitWriter()
+    rs = _RestartScan(restart_interval)
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            prev_dc = _encode_block(bw, padded[by:by + 8, bx:bx + 8],
+            if rs.next_mcu():
+                prev_dc = 0
+            prev_dc = _encode_block(rs.bw, padded[by:by + 8, bx:bx + 8],
                                     q, prev_dc)
-    bw.flush()
+    scan_bytes = rs.finish()
 
     out = bytearray(b"\xff\xd8")                      # SOI
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -220,9 +263,10 @@ def jpeg_encode(img: np.ndarray, quant: int = 1) -> bytes:
                                (0x10, _AC_COUNTS, _AC_VALUES)):
         seg = bytes([tc]) + bytes(counts) + bytes(values)
         out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    out += _dri_segment(restart_interval)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
-    out += bw.buf
+    out += scan_bytes
     out += b"\xff\xd9"                                # EOI
     return bytes(out)
 
@@ -240,7 +284,8 @@ def _rgb_to_ycc(rgb: np.ndarray) -> np.ndarray:
 
 
 def jpeg_encode_color(rgb: np.ndarray, quant: int = 1,
-                      subsampling: str = "444") -> bytes:
+                      subsampling: str = "444",
+                      restart_interval: int = 0) -> bytes:
     """Baseline YCbCr JPEG from an (H, W, 3) uint8 RGB array.
 
     ``subsampling`` is "444" (no chroma subsampling; MCU = 8x8),
@@ -287,18 +332,20 @@ def jpeg_encode_color(rgb: np.ndarray, quant: int = 1,
         sched = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
                  (1, 0, 0), (2, 0, 0)]
     ph, pw = planes[0].shape
-    bw = _BitWriter()
+    rs = _RestartScan(restart_interval)
     dc = [0, 0, 0]
     for my in range(0, ph, mcu_h):
         for mx in range(0, pw, mcu_w):
+            if rs.next_mcu():
+                dc = [0, 0, 0]
             for pl, jr, jc in sched:
                 if pl == 0:
                     by, bx = my + jr * 8, mx + jc * 8
                 else:
                     by, bx = my // (mcu_h // 8), mx // (mcu_w // 8)
                 dc[pl] = _encode_block(
-                    bw, planes[pl][by:by + 8, bx:bx + 8], q, dc[pl])
-    bw.flush()
+                    rs.bw, planes[pl][by:by + 8, bx:bx + 8], q, dc[pl])
+    scan_bytes = rs.finish()
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -309,9 +356,10 @@ def jpeg_encode_color(rgb: np.ndarray, quant: int = 1,
         + bytes([3, 1, ys, 0, 2, 0x11, 1, 3, 0x11, 1])
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
     out += _huffman_segments()
+    out += _dri_segment(restart_interval)
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
-    out += bw.buf
+    out += scan_bytes
     out += b"\xff\xd9"
     return bytes(out)
 

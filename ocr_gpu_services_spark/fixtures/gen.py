@@ -228,6 +228,14 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
         # so extraction stays byte-identical and goldens unchanged
         prng = random.Random(f"prog1:{i}")
         progressive = prng.random() < 0.35
+        # ~30% of SEQUENTIAL JPEG rows carry a DRI restart interval
+        # (RSTn markers every 4/8/16 MCUs — camera/scanner firmware's
+        # error-resilience shape).  Side rng stream: pixel decode is
+        # byte-identical, so goldens and every other stream are
+        # untouched; the draw exists to exercise the decoder's restart
+        # path in the gate corpus.
+        drng = random.Random(f"dri:{i}")
+        dri = drng.choice((4, 8, 16)) if drng.random() < 0.30 else 0
         if colorize:
             from .colorize import colorize_exact
             rgb = colorize_exact(img, crng)
@@ -235,11 +243,12 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
                 from ..core.jpeg_progressive import jpeg_encode_progressive
                 return jpeg_encode_progressive(rgb)
             sub = "420" if crng.random() < 0.5 else "444"
-            return jpeg_encode_color(rgb, subsampling=sub)
+            return jpeg_encode_color(rgb, subsampling=sub,
+                                     restart_interval=dri)
         if progressive:
             from ..core.jpeg_progressive import jpeg_encode_progressive
             return jpeg_encode_progressive(img)
-        return jpeg_encode(img)
+        return jpeg_encode(img, restart_interval=dri)
     if colorize:
         from ..core.png import (png_encode_palette, png_encode_rgb,
                                 png_encode_rgba)

@@ -7,7 +7,8 @@ import random
 
 import numpy as np
 
-from ocr_gpu_services_spark.core.jpeg import jpeg_decode, jpeg_encode
+from ocr_gpu_services_spark.core.jpeg import (jpeg_decode, jpeg_encode,
+                                              jpeg_encode_color)
 
 
 def test_roundtrip_error_bounded_and_bands_preserved():
@@ -61,3 +62,40 @@ def test_malformed_jpeg_degrades():
     blob = b"\xff\xd8\xff\xe0" + b"\x00" * 40
     ct, text, spans, _dt, _cf, err = extract_document(blob, None)
     assert ct == "image" and text == "" and err is not None
+
+
+def test_restart_interval_roundtrip_gray_and_color():
+    """DRI/RSTn streams decode to the same pixels as their plain twins:
+    segments are independently padded/stuffed, DC predictors reset at
+    each marker (T.81 E.1.4) — the error-resilience shape real camera
+    and scanner firmware emits."""
+    rng = np.random.RandomState(11)
+    img = (rng.rand(45, 61) * 255).astype(np.uint8)
+    plain = jpeg_decode(jpeg_encode(img))
+    for ri in (1, 3, 7, 40, 1000):
+        enc = jpeg_encode(img, restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert np.array_equal(jpeg_decode(enc), plain)
+    rgb = (rng.rand(37, 53, 3) * 255).astype(np.uint8)
+    for sub in ("444", "422", "420"):
+        plain = jpeg_decode(jpeg_encode_color(rgb, subsampling=sub))
+        for ri in (1, 2, 5):
+            enc = jpeg_encode_color(rgb, subsampling=sub,
+                                    restart_interval=ri)
+            assert np.array_equal(jpeg_decode(enc), plain)
+
+
+def test_restart_marker_missing_raises():
+    """A DRI header whose scan lacks the promised RSTn marker must fail
+    loudly, not silently misparse the entropy stream."""
+    rng = np.random.RandomState(12)
+    img = (rng.rand(32, 32) * 255).astype(np.uint8)
+    enc = bytearray(jpeg_encode(img, restart_interval=2))
+    # strip the first restart marker from the scan
+    sos = enc.find(b"\xff\xda")
+    k = enc.find(b"\xff\xd0", sos)
+    assert k > 0
+    del enc[k:k + 2]
+    import pytest
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(enc))
