@@ -30,27 +30,53 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _interlace_raw(arr3: np.ndarray, h: int, w: int, bpp: int) -> bytes:
+    """Filtered raw stream for an Adam7-interlaced image (filter 0 per
+    sub-image scanline); empty passes contribute no bytes."""
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr3[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        flat = np.ascontiguousarray(sub).reshape(ph, pw * bpp)
+        parts.append(b"".join(b"\x00" + flat[r].tobytes()
+                              for r in range(ph)))
+    return b"".join(parts)
+
+
 def _encode_raw(arr2d: np.ndarray, ctype: int, w: int, h: int,
-                extra: bytes = b"") -> bytes:
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr2d[r].tobytes() for r in range(h))
+                extra: bytes = b"", interlace: bool = False) -> bytes:
+    bpp = _BPP[ctype]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        raw = _interlace_raw(arr2d.reshape(h, w, bpp), h, w, bpp)
+    else:
+        raw = b"".join(b"\x00" + arr2d[r].tobytes() for r in range(h))
     return (_SIG + _chunk(b"IHDR", ihdr) + extra
             + _chunk(b"IDAT", zlib.compress(raw, 6))
             + _chunk(b"IEND", b""))
 
 
-def png_encode(gray: np.ndarray) -> bytes:
-    """Encode a 2-D uint8 array as grayscale PNG (color type 0)."""
+def png_encode(gray: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode a 2-D uint8 array as grayscale PNG (color type 0);
+    ``interlace`` emits the Adam7 seven-pass layout."""
     assert gray.ndim == 2 and gray.dtype == np.uint8
     h, w = gray.shape
-    return _encode_raw(gray, 0, w, h)
+    return _encode_raw(gray, 0, w, h, interlace=interlace)
 
 
-def png_encode_rgb(rgb: np.ndarray) -> bytes:
+def png_encode_rgb(rgb: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (H, W, 3) uint8 array as truecolor PNG (color type 2)."""
     assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
     h, w = rgb.shape[:2]
-    return _encode_raw(rgb.reshape(h, w * 3), 2, w, h)
+    return _encode_raw(rgb.reshape(h, w * 3), 2, w, h, interlace=interlace)
 
 
 def png_encode_graya(gray: np.ndarray, alpha: int = 255) -> bytes:
@@ -139,6 +165,27 @@ def _unfilter(raw: bytes, height: int, width: int, bpp: int) -> np.ndarray:
     return img
 
 
+def _deinterlace(raw: bytes, height: int, width: int, bpp: int
+                 ) -> np.ndarray:
+    """Reassemble an Adam7 stream: each non-empty pass is an
+    independently filtered sub-image (its own filter bytes and
+    left/up neighbors), scattered onto the full-resolution grid."""
+    img = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp + 1
+        sub = _unfilter(raw[pos:pos + ph * stride], ph, pw, bpp)
+        pos += ph * stride
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if pos != len(raw):
+        raise ValueError("interlaced PNG length mismatch")
+    return img.reshape(height, width * bpp)
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """Decode an 8-bit PNG.  Returns (H, W) uint8 for grayscale inputs
     (color types 0 and 4, alpha dropped) or (H, W, 3) uint8 RGB for
@@ -147,6 +194,7 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     pos = 8
     width = height = ctype = None
+    ilace = 0
     palette = None
     idat = bytearray()
     while pos + 8 <= len(data):
@@ -159,8 +207,8 @@ def png_decode(data: bytes) -> np.ndarray:
             if depth != 8 or ctype not in _BPP:
                 raise ValueError(
                     f"unsupported PNG (depth {depth}, color type {ctype})")
-            if ilace:
-                raise ValueError("interlaced PNG unsupported")
+            if ilace not in (0, 1):
+                raise ValueError(f"bad interlace method {ilace}")
         elif tag == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -172,7 +220,8 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
     bpp = _BPP[ctype]
-    flat = _unfilter(raw, height, width, bpp)
+    flat = _deinterlace(raw, height, width, bpp) if ilace \
+        else _unfilter(raw, height, width, bpp)
     if ctype == 0:
         return flat.reshape(height, width)
     if ctype == 2:

@@ -249,6 +249,11 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
             from ..core.jpeg_progressive import jpeg_encode_progressive
             return jpeg_encode_progressive(img)
         return jpeg_encode(img, restart_interval=dri)
+    # ~20% of correctness-scale PNG rows are Adam7 INTERLACED (the
+    # progressive-render layout old web tooling emits) — side rng
+    # stream; the decoded pixels are identical so goldens never move
+    arng = random.Random(f"adam7:{i}") if allow_jpeg else None
+    adam7 = arng is not None and arng.random() < 0.20
     if colorize:
         from ..core.png import (png_encode_palette, png_encode_rgb,
                                 png_encode_rgba)
@@ -256,7 +261,7 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
         rgb = colorize_exact(img, crng)
         v = crng.random()
         if v < 0.40:
-            return png_encode_rgb(rgb)
+            return png_encode_rgb(rgb, interlace=adam7)
         if v < 0.70:
             return png_encode_palette(rgb)
         return png_encode_rgba(rgb)
@@ -265,7 +270,7 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
         # goldens identical to the plain-gray twin
         from ..core.png import png_encode_graya
         return png_encode_graya(img)
-    return png_encode(img)
+    return png_encode(img, interlace=adam7)
 
 
 def image_row_pixels(rng: random.Random, i: int,

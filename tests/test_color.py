@@ -126,3 +126,27 @@ def test_jpeg_restart_markers_decode():
     out = (head + dri + base[sos_at:sos_at + 2 + sos_len]
            + body + b"\xff\xd9")
     assert np.array_equal(jpeg_decode(out), ref)
+
+
+def test_adam7_interlaced_roundtrip_and_fixture_parity():
+    """Adam7 decode reassembles the seven passes exactly: gray and RGB
+    round-trips over awkward dims (sub-8 images skip whole passes), and
+    an interlaced encode of a fixture page decodes identically to its
+    sequential twin."""
+    import numpy as np
+    from ocr_gpu_services_spark.core.png import (png_decode, png_encode,
+                                                 png_encode_rgb)
+
+    rng = np.random.RandomState(3)
+    for h, w in ((1, 1), (2, 3), (7, 7), (8, 8), (45, 61), (64, 1)):
+        g = (rng.rand(h, w) * 255).astype(np.uint8)
+        assert np.array_equal(png_decode(png_encode(g, interlace=True)), g)
+        rgb = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        assert np.array_equal(
+            png_decode(png_encode_rgb(rgb, interlace=True)), rgb)
+    from ocr_gpu_services_spark.fixtures import imagegen
+    import random
+    img = imagegen.render_image_page(
+        imagegen.image_plan(random.Random("adam7test"), 1))
+    assert np.array_equal(png_decode(png_encode(img, interlace=True)),
+                          png_decode(png_encode(img)))
