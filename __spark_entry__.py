@@ -52,7 +52,7 @@ _GATE_PRIORITY = [
     # round-5: rewritten since their last driver-green row, + the new
     # second symbology
     "qr_extract",                       # qrlite -> core/qrcode.py (r4)
-    "barcode_extract",                  # EAN-13 (new this round)
+    "barcode_extract",                  # EAN-13 + Code 128 (this round)
     "semdedup",                         # new this round
     "ann_ivf_topk",                     # sampled trainer + Arrow assign
     # round-5: rotated out of the r4 window, last green r1-r3

@@ -208,10 +208,14 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
                 text=payload, conf=1.0,
                 x0=float(x0 - ox), y0=float(y0 - oy),
                 x1=float(x1 + 1 - ox), y1=float(y1 + 1 - oy), kind="qr"))
-    # EAN-13 detection (U3, 1-D symbology, core/barcode.py): a barcode's
-    # bars are thin equal-height components sharing EXACT top and bottom
-    # rows — group by (y0, y1), decode the joint bbox by scanline.  The
-    # guard/parity/checksum chain rejects bar-ish non-symbols.
+    # 1-D symbology detection (U3, core/barcode.py): a barcode's bars
+    # are thin equal-height components sharing EXACT top and bottom
+    # rows — group by (y0, y1), decode the joint bbox by scanline.
+    # EAN-13 is tried first (fixed 95-module geometry), then Code 128
+    # (variable length, mod-103 check).  Each decoder's guard/parity/
+    # checksum chain rejects bar-ish non-symbols, and the two cannot
+    # cross-read (an EAN span has 59 runs — not 6k+7 — while a Code 128
+    # span fails EAN's fixed guard sampling).
     bc_spans: list[Span] = []
     bc_boxes: list[tuple[int, int, int, int]] = []
     bar_groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
@@ -221,19 +225,23 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
         if w <= 4 * barcode.MODULE_W and hh >= 4 * w:
             bar_groups.setdefault((y0, y1), []).append((x0, x1))
     for (y0, y1), bars in bar_groups.items():
-        if len(bars) < 20:                   # EAN-13 renders 30 bars
+        if len(bars) < 16:   # EAN-13 renders 30 bars, min Code 128 is 16
             continue
         bx0 = min(b[0] for b in bars)
         bx1 = max(b[1] for b in bars)
-        payload = barcode.try_decode_region(upright[y0:y1 + 1,
-                                                    bx0:bx1 + 1])
+        crop = upright[y0:y1 + 1, bx0:bx1 + 1]
+        kind = "barcode"
+        payload = barcode.try_decode_region(crop)
+        if payload is None:
+            kind = "code128"
+            payload = barcode.try_decode_code128(crop)
         if payload is not None:
             bc_boxes.append((y0, bx0, y1, bx1))
             bc_spans.append(Span(
                 text=payload, conf=1.0,
                 x0=float(bx0 - ox), y0=float(y0 - oy),
                 x1=float(bx1 + 1 - ox), y1=float(y1 + 1 - oy),
-                kind="barcode"))
+                kind=kind))
 
     for i in big_idx:
         y0, x0, y1, x1 = int(cy0[i]), int(cx0[i]), int(cy1[i]), int(cx1[i])

@@ -86,6 +86,27 @@ def image_plan(rng: random.Random, i: int) -> dict:
     if erng.random() < 0.18:
         ean_payload = "".join(erng.choice("0123456789") for _ in range(12))
         ean_x = erng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 80)
+    # ~12% carry a Code 128 logistics label (third symbology — variable
+    # length, code-set state machine, mod-103 check; core/barcode.py).
+    # Side rng stream keyed by row index: the salt "c128" lands 3 tiny
+    # image rows + 4 tiny scanned-pdf pages so the DuckDB gate exercises
+    # the decoder at every route.  ~30% of payloads are even-length
+    # all-digit (encoded in set C, digit pairs), the rest mixed-case
+    # alphanumeric (set B).
+    xrng = random.Random(f"c128:{i}")
+    c128_payload = None
+    c128_x = glyph_ocr.MARGIN
+    if xrng.random() < 0.12:
+        if xrng.random() < 0.30:
+            c128_payload = "".join(
+                xrng.choice("0123456789")
+                for _ in range(xrng.choice((8, 10, 12))))
+        else:
+            alpha = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                     "abcdefghijklmnopqrstuvwxyz0123456789-./+")
+            c128_payload = "".join(
+                xrng.choice(alpha) for _ in range(xrng.randint(6, 12)))
+        c128_x = xrng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 80)
     sig_x = rng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 40)
     qr_x = rng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 60)
     angle = 0.0
@@ -124,7 +145,8 @@ def image_plan(rng: random.Random, i: int) -> dict:
     return {"lines": lines, "sig_seed": sig_seed, "qr_payload": qr_payload,
             "sig_x": sig_x, "qr_x": qr_x, "angle": angle, "bed": bed,
             "persp": persp, "flip": flip, "turn": turn,
-            "ean_payload": ean_payload, "ean_x": ean_x}
+            "ean_payload": ean_payload, "ean_x": ean_x,
+            "c128_payload": c128_payload, "c128_x": c128_x}
 
 
 def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
@@ -163,6 +185,16 @@ def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
         meta["ean_payload"] = (plan["ean_payload"]
                                + str(barcode.checksum(plan["ean_payload"])))
         y_cur += bc.shape[0] + GAP
+    meta["c128_box"] = None
+    meta["c128_payload"] = None
+    if plan.get("c128_payload") is not None:
+        c1 = barcode.encode_code128(plan["c128_payload"])
+        parts.append((c1, y_cur, plan["c128_x"]))
+        meta["c128_box"] = (y_cur, plan["c128_x"],
+                            y_cur + c1.shape[0] - 1,
+                            plan["c128_x"] + c1.shape[1] - 1)
+        meta["c128_payload"] = plan["c128_payload"]
+        y_cur += c1.shape[0] + GAP
     height = max(y + a.shape[0] for a, y, x in parts) + M
     width = max(x + a.shape[1] for a, y, x in parts) + M
     img = np.full((height, width), PAPER, dtype=np.uint8)
@@ -231,6 +263,8 @@ def canonical_meta(plan: dict) -> dict:
             "qr_payload": meta["qr_payload"],
             "ean_span": canon(meta["ean_box"]),
             "ean_payload": meta["ean_payload"],
+            "c128_span": canon(meta["c128_box"]),
+            "c128_payload": meta["c128_payload"],
             "angle": plan["angle"],
             "line_spans": expected_line_spans(plan),
             "word_spans": expected_word_spans(plan)}

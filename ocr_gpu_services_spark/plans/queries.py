@@ -1062,6 +1062,10 @@ def _image_truth_values() -> tuple[str, str]:
             x0, y0, x1, y1 = meta["ean_span"]
             ean_rows.append("('%s', '%s', 'EAN13', %r, %r, %r, %r)"
                             % (url, meta["ean_payload"], x0, y0, x1, y1))
+        if meta.get("c128_payload") is not None:
+            x0, y0, x1, y1 = meta["c128_span"]
+            ean_rows.append("('%s', '%s', 'CODE128', %r, %r, %r, %r)"
+                            % (url, meta["c128_payload"], x0, y0, x1, y1))
 
     for e in image_expectations("tiny"):
         add(e["url"], e)
@@ -1106,18 +1110,20 @@ def qr_extract(spark, sf_dir):
 
 @q("barcode_extract", _EAN_TRUTH_SQL)
 def barcode_extract(spark, sf_dir):
-    """U3, second symbology (pyzbar reads 1-D retail codes alongside QR,
-    reference optional_services.py:56-78): EAN-13 symbols detected as
-    equal-height bar component groups, scanline-decoded with guard/
-    parity/checksum verification (core/barcode.py), emitted as
-    kind='barcode' spans with exact symbol geometry.  Oracle = the
-    generator's planted digits + placement arithmetic, so payload, the
-    derived check digit AND the box are all hard-gated."""
+    """U3, 1-D symbologies (pyzbar reads retail/logistics codes alongside
+    QR, reference optional_services.py:56-78): EAN-13 and Code 128
+    symbols detected as equal-height bar component groups, scanline-
+    decoded with guard/parity/checksum (EAN) or start/codeword/mod-103-
+    check/stop verification (Code 128) — core/barcode.py — emitted as
+    kind='barcode'/'code128' spans with exact symbol geometry.  Oracle =
+    the generator's planted payloads + placement arithmetic, so payload,
+    the derived EAN check digit AND the box are all hard-gated."""
     ext = extract_pipeline(synthetic_pages(spark, "tiny"))
     return (ext.select("url", F.explode("spans").alias("s"))
-            .filter(F.col("s.kind") == "barcode")
+            .filter(F.col("s.kind").isin("barcode", "code128"))
             .select("url", F.col("s.text").alias("data"),
-                    F.lit("EAN13").alias("type"),
+                    F.when(F.col("s.kind") == "barcode", F.lit("EAN13"))
+                    .otherwise(F.lit("CODE128")).alias("type"),
                     "s.x0", "s.y0", "s.x1", "s.y1"))
 
 

@@ -1,7 +1,8 @@
-"""EAN-13 (core/barcode.py): second U3 symbology — encoder/decoder
-round trip, checksum, damage rejection, and the kernel's bar-group
-detection across page transformations (incl. the quarter-turn +
-misled-deskew regression the pre-deskew orientation re-vote fixes)."""
+"""1-D symbologies (core/barcode.py): EAN-13 + Code 128 — encoder/
+decoder round trips, checksums, damage rejection, code-set state
+machine, and the kernel's bar-group detection across page
+transformations (incl. the quarter-turn + misled-deskew regression the
+pre-deskew orientation re-vote fixes)."""
 
 import random
 
@@ -87,6 +88,124 @@ def test_kernel_detects_barcode_on_transformed_pages():
             meta["ean_span"], i
         found += 1
     assert found >= 15                  # the draw rate guarantees plenty
+
+
+def _c128_image_from_values(vals: list[int]) -> np.ndarray:
+    """Render raw codeword values (incl. start, excl. check/stop) the
+    way the encoder does — for decoder state-machine tests that need
+    sequences the set-B/C encoder would never emit."""
+    check = (vals[0] + sum(k * v for k, v in enumerate(vals[1:], 1))) % 103
+    widths = "".join(barcode._C128[v] for v in vals + [check]) \
+        + barcode._C128_STOP
+    bits = []
+    for k, w in enumerate(widths):
+        bits.extend([k % 2 == 0] * int(w))
+    mods = np.array(bits, dtype=bool)
+    row = np.where(np.repeat(mods, barcode.MODULE_W), 0, 255) \
+        .astype(np.uint8)
+    return np.tile(row, (barcode.BAR_H, 1))
+
+
+def test_c128_table_known_patterns():
+    # published start/stop bit patterns of the standard
+    def bits(widths):
+        return "".join(("1" if k % 2 == 0 else "0") * int(w)
+                       for k, w in enumerate(widths))
+    assert bits(barcode._C128[103]) == "11010000100"   # START A
+    assert bits(barcode._C128[104]) == "11010010000"   # START B
+    assert bits(barcode._C128[105]) == "11010011100"   # START C
+    assert bits(barcode._C128[0]) == "11011001100"     # value 0
+    assert bits(barcode._C128_STOP) == "1100011101011"  # stop
+
+
+def test_c128_roundtrip_sets_b_and_c():
+    rng = random.Random(3)
+    alpha = ("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+             "0123456789 -./+!#$%&*=?@_")
+    for _ in range(60):
+        if rng.random() < 0.4:
+            txt = "".join(rng.choice("0123456789")
+                          for _ in range(rng.choice((4, 6, 8, 10, 12))))
+        else:
+            txt = "".join(rng.choice(alpha)
+                          for _ in range(rng.randint(1, 20)))
+        img = barcode.encode_code128(txt)
+        assert barcode.try_decode_code128(img) == txt, txt
+        rev = np.ascontiguousarray(img[::-1, ::-1])
+        assert barcode.try_decode_code128(rev) == txt, txt
+
+
+def test_c128_state_machine_switches_and_shift():
+    # START C, digits 12 34, CODE B, 'x', SHIFT, (set A ctrl) 'J'-64 ->
+    # exercises C->B latch and B->A single-symbol shift
+    vals = [105, 12, 34, 100, ord("x") - 32, 98, 10]  # A set v10 -> '*'
+    img = _c128_image_from_values(vals)
+    assert barcode.try_decode_code128(img) == "1234x*"
+    # START A with a control char (value 64+7 -> BEL) and CODE B latch
+    vals = [103, ord("H") - 32, 71, 100, ord("i") - 32]
+    img = _c128_image_from_values(vals)
+    assert barcode.try_decode_code128(img) == "H\x07i"
+
+
+def test_c128_fnc_and_dangling_shift_rejected():
+    for vals in ([104, 102, ord("A") - 32],      # FNC1
+                 [104, ord("A") - 32, 100],      # FNC4 in B
+                 [103, ord("A") - 32, 101],      # FNC4 in A
+                 [104, ord("A") - 32, 98]):      # dangling SHIFT
+        img = _c128_image_from_values(vals)
+        assert barcode.try_decode_code128(img) is None, vals
+
+
+def test_c128_checksum_and_damage_rejected():
+    txt = "SPARK-42x"
+    img = barcode.encode_code128(txt)
+    rng = random.Random(4)
+    n_mod = img.shape[1] // barcode.MODULE_W
+    for _ in range(40):
+        m = rng.randrange(n_mod)
+        dam = img.copy()
+        x = m * barcode.MODULE_W
+        dam[:, x:x + barcode.MODULE_W] = \
+            255 - dam[:, x:x + barcode.MODULE_W]
+        assert barcode.try_decode_code128(dam) in (None, txt)
+    rs = np.random.RandomState(5)
+    for _ in range(60):
+        noise = rs.rand(40, 30 + rs.randint(200)) < rs.uniform(0.2, 0.8)
+        g = np.where(noise, 0, 255).astype(np.uint8)
+        assert barcode.try_decode_code128(g) is None
+
+
+def test_c128_ean_cross_rejection():
+    ean = barcode.encode("123456789012")
+    c128 = barcode.encode_code128("HELLO-99")
+    assert barcode.try_decode_code128(ean) is None
+    assert barcode.try_decode_region(c128) is None
+
+
+def test_kernel_detects_code128_on_transformed_pages():
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.core.png import png_encode
+    from ocr_gpu_services_spark.fixtures import imagegen
+    get_atlas()
+    found = 0
+    for i in range(200):
+        rng = random.Random(i * 131)
+        plan = imagegen.image_plan(rng, i)
+        if plan["c128_payload"] is None:
+            continue
+        img = imagegen.render_image_page(plan)
+        _ct, _text, spans, *_r, err = extract_document(png_encode(img),
+                                                       None)
+        bc = [s for s in spans if s.kind == "code128"]
+        assert err is None and len(bc) == 1 and \
+            bc[0].text == plan["c128_payload"], \
+            (i, plan["c128_payload"], [s.text for s in bc])
+        meta = imagegen.canonical_meta(plan)
+        assert (bc[0].x0, bc[0].y0, bc[0].x1, bc[0].y1) == \
+            meta["c128_span"], i
+        found += 1
+    assert found >= 12                  # 12% draw over 200 plans
 
 
 def test_quarter_turned_barcode_page_recovers():
