@@ -180,8 +180,17 @@ def estimate_skew(img: np.ndarray, grid=SKEW_GRID) -> float:
     ys, xs = np.nonzero(img < 128)
     if ys.size == 0:
         return 0.0
-    if ys.size > 1536:   # deterministic stride sample; profile shape holds
-        step = ys.size // 1536 + 1
+    # deterministic stride sample; the profile shape holds as long as
+    # the TEXT keeps enough absolute representation.  A fixed cap fails
+    # on symbol-heavy pages: a version-10 QR block carries ~14k ink
+    # points, so a 1536-point sample leaves the glyph rows' peak at
+    # noise level and a dense-block alias angle can win.  Scaling the
+    # cap with total ink (n/4, bounded) keeps text-only pages on the
+    # exact historical path while giving symbol-heavy pages
+    # proportional signal — verified against the full-scatter argmax.
+    cap = max(1536, min(ys.size // 4, 8192))
+    if ys.size > cap:
+        step = ys.size // cap + 1
         ys, xs = ys[::step], xs[::step]
     gset = set(grid)
     coarse = sorted((d for d in gset if float(d) == int(d)),

@@ -4,26 +4,29 @@ Replaces the round-2 "QR-lite" stand-in with the published spec so U3
 reaches real parity with the reference's pyzbar decode
 (/root/reference/src/infrastructure/services/optional_services.py:56-78,
 record shape {data, type='QRCODE', position}).  Everything here derives
-from the public standard: byte mode, versions 1-5 (21-37 modules),
+from the public standard: byte mode, versions 1-10 (21-57 modules),
 error-correction levels L/M/Q/H with Reed-Solomon over GF(256)
 (poly 0x11D, b=0 consecutive roots), multi-block codeword interleaving
-(versions 3+ split data across up to 4 RS blocks, round-robin data then
+(versions 3+ split data across up to 8 RS blocks, round-robin data then
 round-robin parity per the spec's table 9), the 8 mask patterns selected
 by the four penalty rules, BCH(15,5)-protected format information (mask
-0x5412), finder/separator/timing/alignment function patterns and the
-standard two-column zigzag codeword placement.  The decoder corrects up
-to floor(ec_codewords/2) corrupted codewords PER BLOCK (Berlekamp-
-Massey + Chien + Forney) and tolerates up to 3 flipped format-info
+0x5412), the BCH(18,6)-protected version-information block of versions
+7+ (generator 0x1F25, both placements), the full alignment-pattern
+coordinate grid (versions 7+ carry 6, minus the three finder overlaps),
+the 16-bit byte-mode count field from version 10, finder/separator/
+timing function patterns and the standard two-column zigzag codeword
+placement.  The decoder corrects up to floor(ec_codewords/2) corrupted
+codewords PER BLOCK (Berlekamp-Massey + Chien + Forney), tolerates up
+to 3 flipped format-info modules per copy and 3 flipped version-info
 modules per copy — exercised by the adversarial damaged-module tests.
 
 Encoder (fixture generator) and decoder (extraction kernel) share the
 placement/table code below, but the decoder is tested against *damaged*
-renders too, so round-tripping is not vacuous.
-
-Versions beyond 5 are out of scope (payloads here are <= 84 bytes);
-versions 2-6 carry a single alignment pattern so the sampling grid
-needs no multi-alignment fit — v6 is a table entry away, v7+ adds the
-version-information block.
+renders too, so round-tripping is not vacuous.  The RS block table is
+cross-checked in tests against the zigzag placement itself
+(sum(ec+data)*8 must equal the non-function module count minus the
+version's remainder bits — an independent derivation of table 9's
+totals).  Versions beyond 10 are out of scope (payloads <= 213 bytes).
 """
 
 from __future__ import annotations
@@ -181,7 +184,7 @@ def rs_correct(codeword: list[int], nsym: int) -> list[int] | None:
 
 
 # ---------------------------------------------------------------------------
-# tables: versions 1-5, EC levels
+# tables: versions 1-10, EC levels
 # ---------------------------------------------------------------------------
 
 # (version, level) -> RS block structure: list of (ec_per_block, n_data)
@@ -198,12 +201,43 @@ _BLOCKS = {
     5: {"L": [(26, 108)], "M": [(24, 43)] * 2,
         "Q": [(18, 15)] * 2 + [(18, 16)] * 2,
         "H": [(22, 11)] * 2 + [(22, 12)] * 2},
+    6: {"L": [(18, 68)] * 2, "M": [(16, 27)] * 4, "Q": [(24, 19)] * 4,
+        "H": [(28, 15)] * 4},
+    7: {"L": [(20, 78)] * 2, "M": [(18, 31)] * 4,
+        "Q": [(18, 14)] * 2 + [(18, 15)] * 4,
+        "H": [(26, 13)] * 4 + [(26, 14)]},
+    8: {"L": [(24, 97)] * 2, "M": [(22, 38)] * 2 + [(22, 39)] * 2,
+        "Q": [(22, 18)] * 4 + [(22, 19)] * 2,
+        "H": [(26, 14)] * 4 + [(26, 15)] * 2},
+    9: {"L": [(30, 116)] * 2, "M": [(22, 36)] * 3 + [(22, 37)] * 2,
+        "Q": [(20, 16)] * 4 + [(20, 17)] * 4,
+        "H": [(24, 12)] * 4 + [(24, 13)] * 4},
+    10: {"L": [(18, 68)] * 2 + [(18, 69)] * 2,
+         "M": [(26, 43)] * 4 + [(26, 44)],
+         "Q": [(24, 19)] * 6 + [(24, 20)] * 2,
+         "H": [(28, 15)] * 6 + [(28, 16)] * 2},
 }
 _CAPACITY = {v: sum(ec + d for ec, d in blocks["M"])
              for v, blocks in _BLOCKS.items()}
 _EC_BITS = {"L": 0b01, "M": 0b00, "Q": 0b11, "H": 0b10}
-# versions 2-6: one alignment pattern centered at (c, c)
-_ALIGN_CENTER = {2: 18, 3: 22, 4: 26, 5: 30}
+# alignment-pattern center coordinates (row AND column values); every
+# (r, c) pair is a center except the three that overlap finders
+_ALIGN_CENTERS = {2: [18], 3: [22], 4: [26], 5: [30], 6: [34],
+                  7: [6, 22, 38], 8: [6, 24, 42], 9: [6, 26, 46],
+                  10: [6, 28, 50]}
+
+
+def _align_positions(version: int) -> list[tuple[int, int]]:
+    cs = _ALIGN_CENTERS.get(version, [])
+    n = _size(version)
+    out = []
+    for r in cs:
+        for c in cs:
+            if ((r <= 8 and c <= 8) or (r <= 8 and c >= n - 9)
+                    or (r >= n - 9 and c <= 8)):
+                continue                      # overlaps a finder corner
+            out.append((r, c))
+    return out
 
 _FINDER = np.array([[1, 1, 1, 1, 1, 1, 1],
                     [1, 0, 0, 0, 0, 0, 1],
@@ -233,15 +267,17 @@ def _function_mask(version: int) -> np.ndarray:
     fm[n - 8:n, 0:8] = True      # BL
     fm[6, :] = True              # timing row
     fm[:, 6] = True              # timing col
-    if version >= 2:
-        c = _ALIGN_CENTER[version]
-        fm[c - 2:c + 3, c - 2:c + 3] = True  # alignment at (c, c)
+    for (r, c) in _align_positions(version):
+        fm[r - 2:r + 3, c - 2:c + 3] = True  # alignment patterns
     fm[4 * version + 9, 8] = True          # dark module
     # format info areas
     fm[8, 0:9] = True
     fm[0:9, 8] = True
     fm[8, n - 8:n] = True
     fm[n - 8:n, 8] = True
+    if version >= 7:             # version info areas (both copies)
+        fm[0:6, n - 11:n - 8] = True
+        fm[n - 11:n - 8, 0:6] = True
     return fm
 
 
@@ -253,10 +289,15 @@ def _place_function_patterns(mod: np.ndarray, version: int) -> None:
     for k in range(8, n - 8):
         mod[6, k] = (k % 2 == 0)
         mod[k, 6] = (k % 2 == 0)
-    if version >= 2:
-        c = _ALIGN_CENTER[version]
-        mod[c - 2:c + 3, c - 2:c + 3] = _ALIGNMENT
+    for (r, c) in _align_positions(version):
+        mod[r - 2:r + 3, c - 2:c + 3] = _ALIGNMENT
     mod[4 * version + 9, 8] = True
+    if version >= 7:
+        vb = _version_bits(version)
+        for i in range(18):
+            bit = bool((vb >> i) & 1)
+            mod[i // 3, n - 11 + i % 3] = bit     # TR copy
+            mod[n - 11 + i % 3, i // 3] = bit     # BL copy
 
 
 def _format_bits(level: str, mask: int) -> int:
@@ -270,6 +311,16 @@ def _format_bits(level: str, mask: int) -> int:
 
 _ALL_FORMATS = [(lvl, m, _format_bits(lvl, m))
                 for lvl in ("L", "M", "Q", "H") for m in range(8)]
+
+
+def _version_bits(version: int) -> int:
+    """18-bit version information: 6-bit version + 12-bit BCH remainder
+    (generator 0x1F25).  Versions 7+ only."""
+    rem = version << 12
+    for i in range(17, 11, -1):
+        if rem & (1 << i):
+            rem ^= 0x1F25 << (i - 12)
+    return (version << 12) | rem
 
 
 def _format_positions(n: int):
@@ -384,7 +435,7 @@ def _penalty(mod: np.ndarray) -> int:
 # encode
 # ---------------------------------------------------------------------------
 
-MAX_PAYLOAD = 84   # bytes (fits V5-M: 2x43 data codewords - 2 header)
+MAX_PAYLOAD = 213  # bytes (fits V10-M: 216 data codewords - 20-bit header)
 
 
 def _interleave_blocks(cws: bytes, blocks: list[tuple[int, int]]) -> bytes:
@@ -465,11 +516,11 @@ def encode_matrix(payload: str, level: str = "M"
     version = None
     for v in sorted(_BLOCKS):
         cap_bits = sum(d for _ec, d in _BLOCKS[v][level]) * 8
-        if 4 + 8 + 8 * len(data) <= cap_bits:
+        if 4 + (16 if v >= 10 else 8) + 8 * len(data) <= cap_bits:
             version = v
             break
     if version is None:
-        raise ValueError("payload too long for v1-5")
+        raise ValueError("payload too long for v1-10")
     n_data = sum(d for _ec, d in _BLOCKS[version][level])
     bits = []
 
@@ -478,7 +529,7 @@ def encode_matrix(payload: str, level: str = "M"
             bits.append((val >> k) & 1)
 
     push(0b0100, 4)              # byte mode
-    push(len(data), 8)           # count (8 bits for v1-9)
+    push(len(data), 16 if version >= 10 else 8)   # count field
     for b in data:
         push(b, 8)
     push(0, min(4, n_data * 8 - len(bits)))   # terminator
@@ -527,6 +578,23 @@ def decode_matrix(mod: np.ndarray) -> str | None:
     for (r, c) in ((0, 0), (0, n - 7), (n - 7, 0)):
         if int((mod[r:r + 7, c:c + 7] != _FINDER).sum()) > 2:
             return None
+    if version >= 7:
+        # version info must confirm the size-derived version in at
+        # least one copy (<= 3 flipped modules tolerated per copy —
+        # BCH(18,6) minimum distance is 8)
+        want = _version_bits(version)
+        ok = False
+        for copy in range(2):
+            got = 0
+            for i in range(18):
+                pos = ((i // 3, n - 11 + i % 3) if copy == 0
+                       else (n - 11 + i % 3, i // 3))
+                got |= int(mod[pos]) << i
+            if bin(got ^ want).count("1") <= 3:
+                ok = True
+                break
+        if not ok:
+            return None
     # format info: nearest valid codeword within hamming distance 3
     c1, c2 = _format_positions(n)
     best = None
@@ -562,7 +630,7 @@ def decode_matrix(mod: np.ndarray) -> str | None:
     st = [0]
     if take(4, st) != 0b0100:
         return None
-    cnt = take(8, st)
+    cnt = take(16 if version >= 10 else 8, st)
     if cnt == 0 or st[0] + 8 * cnt > 8 * len(stream):
         return None
     data = bytes(take(8, st) for _ in range(cnt))
@@ -627,7 +695,7 @@ def try_decode_region(sub: np.ndarray) -> str | None:
     h, w = sub.shape
     if h != w:
         return None
-    for nmods in (21, 25, 29, 33, 37):
+    for nmods in (21, 25, 29, 33, 37, 41, 45, 49, 53, 57):
         if h % nmods:
             continue
         m = h // nmods

@@ -78,6 +78,19 @@ def image_plan(rng: random.Random, i: int) -> dict:
             alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-."
             qr_payload += "/" + "".join(
                 vrng.choice(alpha) for _ in range(tail))
+        # ~15% land in versions 6-10 (45-57 module grids; v7+ adds the
+        # BCH(18,6) version-information block and the multi-alignment
+        # grid).  A separate side stream OVERRIDES the tail for its hit
+        # rows only — every other row's payload is exactly what the
+        # qrv stream drew, so their goldens/oracles are untouched.  The
+        # salt "qrv10" lands total lengths 100/140/170/200x2 (v6/8/9/10)
+        # across tiny image rows and two tiny scanned-pdf pages.
+        wrng = random.Random(f"qrv10:{i}")
+        if wrng.random() < 0.15:
+            total = wrng.choice((100, 115, 140, 170, 200))
+            alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-."
+            qr_payload = (f"QR:{i:07d}" + "/" + "".join(
+                wrng.choice(alpha) for _ in range(total - 11)))
     # ~18% of pages carry an EAN-13 retail barcode (second symbology,
     # core/barcode.py) — side rng stream again, main stream untouched
     erng = random.Random(f"ean:{i}")

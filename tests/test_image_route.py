@@ -112,9 +112,29 @@ def test_components_vs_bruteforce_flood_fill():
 @pytest.mark.parametrize("payload", ["A", "QR:0001234", "x" * 26,
                                      "v3/" + "B" * 33,       # version 3
                                      "v4/" + "C" * 55,       # version 4
-                                     "v5/" + "D" * 80])      # version 5
+                                     "v5/" + "D" * 80,       # version 5
+                                     "v6/" + "E" * 97,       # version 6
+                                     "v7/" + "F" * 112,      # v7: version info
+                                     "v8/" + "G" * 137,      # v8: 3x3 aligns
+                                     "v9/" + "H" * 167,      # version 9
+                                     "v10" + "I" * 209])     # v10: 16-bit count
 def test_qr_roundtrip(payload):
     assert qrcode.try_decode_region(qrcode.encode(payload)) == payload
+
+
+def test_qr_block_table_matches_placement():
+    """Independent derivation of the RS block table totals: for every
+    version the zigzag data coordinates must count exactly
+    8*total_codewords + remainder_bits (7 for v2-6, 0 for v1 and
+    v7-13 per the spec), and all four EC levels of a version must
+    agree on total codewords — a typo in any _BLOCKS entry breaks
+    one of these."""
+    for v in sorted(qrcode._BLOCKS):
+        totals = {lvl: sum(ec + d for ec, d in qrcode._BLOCKS[v][lvl])
+                  for lvl in "LMQH"}
+        assert len(set(totals.values())) == 1, (v, totals)
+        rem = len(qrcode._data_coords(v)) - 8 * totals["M"]
+        assert rem == (7 if 2 <= v <= 6 else 0), (v, rem)
 
 
 def test_qr_rejects_non_symbols():
@@ -125,7 +145,9 @@ def test_qr_rejects_non_symbols():
 
 @pytest.mark.parametrize("payload", ["QR:0000042",          # v1, 1 block
                                      "v3Q" + "E" * 34,      # v3, 2 blocks
-                                     "v5X" + "F" * 78])     # v5, 2 blocks
+                                     "v5X" + "F" * 78,      # v5, 2 blocks
+                                     "v8Y" + "G" * 140,     # v8, 4 blocks
+                                     "v10" + "H" * 200])    # v10, 5 blocks
 def test_qr_corrects_damaged_modules(payload):
     """Reed-Solomon actually corrects: flip whole codewords up to the
     per-block correction bound (nsym//2 — interleaving spreads any
@@ -183,6 +205,27 @@ def test_qr_format_info_damage_tolerated():
     for pos in c1[:3]:                      # 3 flipped format modules
         m[pos] = not m[pos]
     assert qrcode.decode_matrix(m) == "QR:1234567"
+
+
+def test_qr_version_info_damage():
+    """v7+ carries the BCH(18,6) version block twice; the decoder
+    accepts if EITHER copy is within hamming distance 3 of the
+    size-derived version's codeword, and rejects when both copies are
+    wrecked (a size-misread must not silently decode)."""
+    payload = "v7/" + "K" * 110
+    mat, v, _mask = qrcode.encode_matrix(payload, "M")
+    assert v == 7
+    n = mat.shape[0]
+    tr = [(i // 3, n - 11 + i % 3) for i in range(18)]
+    bl = [(n - 11 + i % 3, i // 3) for i in range(18)]
+    m = mat.copy()
+    for pos in tr[:3] + bl[2:5]:        # 3 flips in EACH copy: tolerated
+        m[pos] = not m[pos]
+    assert qrcode.decode_matrix(m) == payload
+    m = mat.copy()
+    for pos in tr[:5] + bl[:5]:         # both copies past distance 3
+        m[pos] = not m[pos]
+    assert qrcode.decode_matrix(m) is None
 
 
 # ---------------------------------------------------------------------------
