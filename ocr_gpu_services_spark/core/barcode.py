@@ -1,5 +1,5 @@
-"""1-D barcodes — EAN-13 (ISO/IEC 15420) and Code 128 (ISO/IEC 15417):
-encoders + scanline decoders.
+"""1-D barcodes — EAN-13 (ISO/IEC 15420), Code 128 (ISO/IEC 15417) and
+Code 39 (ISO/IEC 16388): encoders + scanline decoders.
 
 Symbologies for U3: the reference's pyzbar.decode reads 1-D retail and
 logistics codes alongside QR (/root/reference/src/infrastructure/
@@ -19,10 +19,19 @@ digit pairs), a mod-103 position-weighted check codeword, and the
 3 spaces of widths 1-4 (bar modules always even — the symbology's
 self-checking parity, asserted on the table at import).
 
-Both decoders sample a single scanline of the symbol's joint bar bbox,
+Code 39: '*'-delimited, 43-character set (0-9 A-Z - . space $ / + %),
+each character 9 elements (5 bars / 4 spaces) of which exactly 3 are
+wide, characters separated by a narrow gap.  No checksum in the base
+standard — rejection power comes from structure: every 9-element group
+must be one of the 44 published patterns, gaps must be narrow, and the
+delimiters must be '*' exactly (interior '*' rejects).
+
+All decoders sample a single scanline of the symbol's joint bar bbox,
 tolerate either scan direction, and reject on any guard/parity/
 checksum/codeword mismatch — a run of page components that merely
-looks bar-ish cannot emit a span.
+looks bar-ish cannot emit a span.  The three symbologies cannot
+cross-read (run-count classes and width-sum checks are mutually
+exclusive — exercised in tests/test_barcode.py).
 """
 
 from __future__ import annotations
@@ -266,6 +275,107 @@ def try_decode_code128(crop: np.ndarray) -> str | None:
     got = _c128_parse_runs(runs)
     if got is None:
         got = _c128_parse_runs(runs[::-1])
+    return got
+
+
+# --------------------------------------------------------------------
+# Code 39 (ISO/IEC 16388)
+# --------------------------------------------------------------------
+
+C39_TYPE = "CODE39"  # pyzbar's obj.type for Code 39 symbols
+
+# char -> 9-element wide flags ('1' = wide), elements alternating
+# bar,space,...,bar (5 bars, 4 spaces).  Published constant table of
+# the standard; every character has exactly 3 wide elements, and all
+# but $ / + % have exactly 2 wide bars + 1 wide space (those four have
+# 3 wide spaces) — both invariants asserted at import.
+_C39 = {
+    "0": "000110100", "1": "100100001", "2": "001100001", "3": "101100000",
+    "4": "000110001", "5": "100110000", "6": "001110000", "7": "000100101",
+    "8": "100100100", "9": "001100100", "A": "100001001", "B": "001001001",
+    "C": "101001000", "D": "000011001", "E": "100011000", "F": "001011000",
+    "G": "000001101", "H": "100001100", "I": "001001100", "J": "000011100",
+    "K": "100000011", "L": "001000011", "M": "101000010", "N": "000010011",
+    "O": "100010010", "P": "001010010", "Q": "000000111", "R": "100000110",
+    "S": "001000110", "T": "000010110", "U": "110000001", "V": "011000001",
+    "W": "111000000", "X": "010010001", "Y": "110010000", "Z": "011010000",
+    "-": "010000101", ".": "110000100", " ": "011000100", "*": "010010100",
+    "$": "010101000", "/": "010100010", "+": "010001010", "%": "000101010",
+}
+_C39_REV = {p: ch for ch, p in _C39.items()}
+
+assert len(_C39) == 44 and len(_C39_REV) == 44
+for _ch, _p in _C39.items():
+    assert len(_p) == 9 and _p.count("1") == 3, _ch
+    _wb = sum(_p[k] == "1" for k in (0, 2, 4, 6, 8))
+    assert _wb == (0 if _ch in "$/+%" else 2), _ch
+del _ch, _p, _wb
+
+_C39_WIDE = 2   # wide element = 2 modules (narrow = 1) at fixture scale
+
+
+def code39_modules(text: str) -> np.ndarray:
+    """Payload -> module pattern (True = bar) incl. '*' delimiters."""
+    if not text or any(c not in _C39 or c == "*" for c in text):
+        raise ValueError("Code 39 encodes 0-9 A-Z -. space $/+% only")
+    bits: list[bool] = []
+    for j, ch in enumerate("*" + text + "*"):
+        if j:
+            bits.append(False)                  # narrow inter-char gap
+        for k, f in enumerate(_C39[ch]):
+            bits.extend([k % 2 == 0] * (_C39_WIDE if f == "1" else 1))
+    return np.array(bits, dtype=bool)
+
+
+def encode_code39(text: str) -> np.ndarray:
+    """Payload -> uint8 image (ink bars on paper), fixture scale."""
+    mods = code39_modules(text)
+    row = np.where(np.repeat(mods, MODULE_W), INK, PAPER).astype(np.uint8)
+    return np.tile(row, (BAR_H, 1))
+
+
+def _c39_parse_runs(runs: np.ndarray) -> str | None:
+    """Pixel run lengths (bar first, bar last) -> decoded payload."""
+    R = runs.size
+    if R < 29 or R % 10 != 9:   # n chars = 9n elements + (n-1) gaps, n>=3
+        return None
+    n = (R + 1) // 10
+    total_mod = n * (6 + 3 * _C39_WIDE) + (n - 1)
+    mw = float(runs.sum()) / total_mod
+    widths = np.rint(runs / mw).astype(int)
+    if (widths.min() < 1 or widths.max() > _C39_WIDE
+            or widths.sum() != total_mod):
+        return None
+    out: list[str] = []
+    for k in range(n):
+        if k and widths[10 * k - 1] != 1:       # inter-char gap narrow
+            return None
+        ch = _C39_REV.get("".join("1" if w == _C39_WIDE else "0"
+                                  for w in widths[10 * k:10 * k + 9]))
+        if ch is None:
+            return None
+        out.append(ch)
+    if out[0] != "*" or out[-1] != "*" or "*" in out[1:-1]:
+        return None
+    return "".join(out[1:-1])
+
+
+def try_decode_code39(crop: np.ndarray) -> str | None:
+    """Decode an upright Code 39 crop (joint bbox of its bars) from its
+    middle scanline's run lengths.  Tries both scan directions."""
+    h, w = crop.shape
+    if h < 3 or w < 29:
+        return None
+    line = crop[h // 2] < 128
+    on = np.nonzero(line)[0]
+    if on.size == 0:
+        return None
+    seg = line[on[0]:on[-1] + 1]
+    edges = np.nonzero(np.diff(seg.astype(np.int8)))[0]
+    runs = np.diff(np.concatenate(([0], edges + 1, [seg.size])))
+    got = _c39_parse_runs(runs)
+    if got is None:
+        got = _c39_parse_runs(runs[::-1])
     return got
 
 

@@ -212,10 +212,11 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     # are thin equal-height components sharing EXACT top and bottom
     # rows — group by (y0, y1), decode the joint bbox by scanline.
     # EAN-13 is tried first (fixed 95-module geometry), then Code 128
-    # (variable length, mod-103 check).  Each decoder's guard/parity/
-    # checksum chain rejects bar-ish non-symbols, and the two cannot
-    # cross-read (an EAN span has 59 runs — not 6k+7 — while a Code 128
-    # span fails EAN's fixed guard sampling).
+    # (variable length, mod-103 check), then Code 39 ('*'-delimited
+    # wide/narrow, 44-pattern table).  Each decoder's guard/parity/
+    # checksum/structure chain rejects bar-ish non-symbols, and the
+    # three cannot cross-read: run-count classes (59 / 6m+7 / 10n-1)
+    # and exact width-sum checks are mutually exclusive.
     bc_spans: list[Span] = []
     bc_boxes: list[tuple[int, int, int, int]] = []
     bar_groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
@@ -235,6 +236,9 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
         if payload is None:
             kind = "code128"
             payload = barcode.try_decode_code128(crop)
+        if payload is None:
+            kind = "code39"
+            payload = barcode.try_decode_code39(crop)
         if payload is not None:
             bc_boxes.append((y0, bx0, y1, bx1))
             bc_spans.append(Span(

@@ -120,6 +120,23 @@ def image_plan(rng: random.Random, i: int) -> dict:
             c128_payload = "".join(
                 xrng.choice(alpha) for _ in range(xrng.randint(6, 12)))
         c128_x = xrng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 80)
+    # ~10% carry a Code 39 label (fourth symbology — '*'-delimited
+    # wide/narrow elements, 44-pattern structural rejection, no
+    # checksum; core/barcode.py).  Side rng stream: the salt "code39"
+    # lands 3 tiny image rows + 2 tiny scanned-pdf pages.  The charset
+    # covers digits, letters and all four $/+% specials (the zero-wide-
+    # bar patterns) plus space/-/. so the decoder table is exercised
+    # end to end.
+    nrng = random.Random(f"code39:{i}")
+    c39_payload = None
+    c39_x = glyph_ocr.MARGIN
+    if nrng.random() < 0.10:
+        alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-. $/+%"
+        c39_payload = "".join(nrng.choice(alpha)
+                              for _ in range(nrng.randint(4, 10))).strip()
+        while len(c39_payload) < 4:       # strip() may shorten the ends
+            c39_payload += nrng.choice(alpha[:36])
+        c39_x = nrng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 80)
     sig_x = rng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 40)
     qr_x = rng.randint(glyph_ocr.MARGIN, glyph_ocr.MARGIN + 60)
     angle = 0.0
@@ -159,7 +176,8 @@ def image_plan(rng: random.Random, i: int) -> dict:
             "sig_x": sig_x, "qr_x": qr_x, "angle": angle, "bed": bed,
             "persp": persp, "flip": flip, "turn": turn,
             "ean_payload": ean_payload, "ean_x": ean_x,
-            "c128_payload": c128_payload, "c128_x": c128_x}
+            "c128_payload": c128_payload, "c128_x": c128_x,
+            "c39_payload": c39_payload, "c39_x": c39_x}
 
 
 def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
@@ -208,6 +226,16 @@ def compose_upright(plan: dict) -> tuple[np.ndarray, dict]:
                             plan["c128_x"] + c1.shape[1] - 1)
         meta["c128_payload"] = plan["c128_payload"]
         y_cur += c1.shape[0] + GAP
+    meta["c39_box"] = None
+    meta["c39_payload"] = None
+    if plan.get("c39_payload") is not None:
+        c3 = barcode.encode_code39(plan["c39_payload"])
+        parts.append((c3, y_cur, plan["c39_x"]))
+        meta["c39_box"] = (y_cur, plan["c39_x"],
+                           y_cur + c3.shape[0] - 1,
+                           plan["c39_x"] + c3.shape[1] - 1)
+        meta["c39_payload"] = plan["c39_payload"]
+        y_cur += c3.shape[0] + GAP
     height = max(y + a.shape[0] for a, y, x in parts) + M
     width = max(x + a.shape[1] for a, y, x in parts) + M
     img = np.full((height, width), PAPER, dtype=np.uint8)
@@ -278,6 +306,8 @@ def canonical_meta(plan: dict) -> dict:
             "ean_payload": meta["ean_payload"],
             "c128_span": canon(meta["c128_box"]),
             "c128_payload": meta["c128_payload"],
+            "c39_span": canon(meta["c39_box"]),
+            "c39_payload": meta["c39_payload"],
             "angle": plan["angle"],
             "line_spans": expected_line_spans(plan),
             "word_spans": expected_word_spans(plan)}

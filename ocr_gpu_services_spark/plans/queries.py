@@ -1066,6 +1066,10 @@ def _image_truth_values() -> tuple[str, str]:
             x0, y0, x1, y1 = meta["c128_span"]
             ean_rows.append("('%s', '%s', 'CODE128', %r, %r, %r, %r)"
                             % (url, meta["c128_payload"], x0, y0, x1, y1))
+        if meta.get("c39_payload") is not None:
+            x0, y0, x1, y1 = meta["c39_span"]
+            ean_rows.append("('%s', '%s', 'CODE39', %r, %r, %r, %r)"
+                            % (url, meta["c39_payload"], x0, y0, x1, y1))
 
     for e in image_expectations("tiny"):
         add(e["url"], e)
@@ -1111,19 +1115,22 @@ def qr_extract(spark, sf_dir):
 @q("barcode_extract", _EAN_TRUTH_SQL)
 def barcode_extract(spark, sf_dir):
     """U3, 1-D symbologies (pyzbar reads retail/logistics codes alongside
-    QR, reference optional_services.py:56-78): EAN-13 and Code 128
-    symbols detected as equal-height bar component groups, scanline-
-    decoded with guard/parity/checksum (EAN) or start/codeword/mod-103-
-    check/stop verification (Code 128) — core/barcode.py — emitted as
-    kind='barcode'/'code128' spans with exact symbol geometry.  Oracle =
-    the generator's planted payloads + placement arithmetic, so payload,
-    the derived EAN check digit AND the box are all hard-gated."""
+    QR, reference optional_services.py:56-78): EAN-13, Code 128 and
+    Code 39 symbols detected as equal-height bar component groups,
+    scanline-decoded with guard/parity/checksum (EAN), start/codeword/
+    mod-103-check/stop verification (Code 128) or '*'-delimiter/
+    44-pattern-table structure (Code 39) — core/barcode.py — emitted as
+    kind='barcode'/'code128'/'code39' spans with exact symbol geometry.
+    Oracle = the generator's planted payloads + placement arithmetic, so
+    payload, the derived EAN check digit AND the box are all
+    hard-gated."""
     ext = extract_pipeline(synthetic_pages(spark, "tiny"))
     return (ext.select("url", F.explode("spans").alias("s"))
-            .filter(F.col("s.kind").isin("barcode", "code128"))
+            .filter(F.col("s.kind").isin("barcode", "code128", "code39"))
             .select("url", F.col("s.text").alias("data"),
                     F.when(F.col("s.kind") == "barcode", F.lit("EAN13"))
-                    .otherwise(F.lit("CODE128")).alias("type"),
+                    .when(F.col("s.kind") == "code128", F.lit("CODE128"))
+                    .otherwise(F.lit("CODE39")).alias("type"),
                     "s.x0", "s.y0", "s.x1", "s.y1"))
 
 

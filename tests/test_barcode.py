@@ -1,6 +1,6 @@
-"""1-D symbologies (core/barcode.py): EAN-13 + Code 128 — encoder/
-decoder round trips, checksums, damage rejection, code-set state
-machine, and the kernel's bar-group detection across page
+"""1-D symbologies (core/barcode.py): EAN-13 + Code 128 + Code 39 —
+encoder/decoder round trips, checksums, damage rejection, code-set
+state machine, and the kernel's bar-group detection across page
 transformations (incl. the quarter-turn + misled-deskew regression the
 pre-deskew orientation re-vote fixes)."""
 
@@ -206,6 +206,97 @@ def test_kernel_detects_code128_on_transformed_pages():
             meta["c128_span"], i
         found += 1
     assert found >= 12                  # 12% draw over 200 plans
+
+
+def test_c39_known_pattern():
+    # '*' (start/stop) has wide flags 010010100: element widths
+    # 1 2 1 1 2 1 2 1 1 (bar space ... bar) -> leading modules
+    # 1 00 1 0 11 0 11 0 1 — the published delimiter pattern at ratio 2
+    bits = barcode.code39_modules("0")
+    # symbol = * 0 * with narrow gaps: check total module count
+    assert bits.size == 3 * 12 + 2          # 3 chars x 12 modules + 2 gaps
+    assert list(bits[:12].astype(int)) == \
+        [1, 0, 0, 1, 0, 1, 1, 0, 1, 1, 0, 1]
+
+
+def test_c39_roundtrip_and_reverse_scan():
+    rng = random.Random(11)
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-. $/+%"
+    for _ in range(60):
+        txt = "".join(rng.choice(alpha)
+                      for _ in range(rng.randint(1, 20))).strip() or "X"
+        img = barcode.encode_code39(txt)
+        assert barcode.try_decode_code39(img) == txt, txt
+        rev = np.ascontiguousarray(img[::-1, ::-1])
+        assert barcode.try_decode_code39(rev) == txt, txt
+
+
+def test_c39_structure_rejection():
+    # noise, truncation, interior '*', widened element: all reject or
+    # return the exact payload, never wrong data
+    rs = np.random.RandomState(9)
+    for _ in range(60):
+        noise = rs.rand(40, 29 + rs.randint(300)) < rs.uniform(0.2, 0.8)
+        img = np.where(noise, 0, 255).astype(np.uint8)
+        assert barcode.try_decode_code39(img) is None
+    img = barcode.encode_code39("TRUNCATED")
+    assert barcode.try_decode_code39(
+        img[:, :-3 * barcode.MODULE_W]) is None
+    # damage sweep: flip one module column at a time
+    txt = "C39-OK"
+    img = barcode.encode_code39(txt)
+    n_mod = img.shape[1] // barcode.MODULE_W
+    rng = random.Random(13)
+    for _ in range(40):
+        m = rng.randrange(n_mod)
+        dam = img.copy()
+        x = m * barcode.MODULE_W
+        dam[:, x:x + barcode.MODULE_W] = \
+            255 - dam[:, x:x + barcode.MODULE_W]
+        assert barcode.try_decode_code39(dam) in (None, txt)
+
+
+def test_c39_cross_symbology_rejection():
+    """The three symbologies cannot cross-read: run-count classes
+    (EAN 59 / C128 6m+7 / C39 10n-1) + width-sum and structure checks
+    are mutually exclusive."""
+    c39 = barcode.encode_code39("HELLO WORLD-42 $/+%")
+    assert barcode.try_decode_region(c39) is None
+    assert barcode.try_decode_code128(c39) is None
+    for txt in ("HELLO", "0042", "MiXeD-12"):
+        assert barcode.try_decode_code39(
+            barcode.encode_code128(txt)) is None
+    assert barcode.try_decode_code39(barcode.encode("590123412345")) is None
+    # n=5 chars gives R=49 runs == 1 mod 6 (a C128-plausible run count):
+    # the width-sum check must still reject
+    c39_5 = barcode.encode_code39("ABC")          # *ABC* = 5 chars
+    assert barcode.try_decode_code128(c39_5) is None
+
+
+def test_kernel_detects_code39_on_transformed_pages():
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.core.png import png_encode
+    from ocr_gpu_services_spark.fixtures import imagegen
+    get_atlas()
+    found = 0
+    for i in range(200):
+        rng = random.Random(i * 131)
+        plan = imagegen.image_plan(rng, i)
+        if plan["c39_payload"] is None:
+            continue
+        img = imagegen.render_image_page(plan)
+        _ct, _text, spans, *_r, err = extract_document(png_encode(img),
+                                                       None)
+        bc = [s for s in spans if s.kind == "code39"]
+        assert err is None and len(bc) == 1 and \
+            bc[0].text == plan["c39_payload"], \
+            (i, plan["c39_payload"], [s.text for s in bc])
+        meta = imagegen.canonical_meta(plan)
+        assert (bc[0].x0, bc[0].y0, bc[0].x1, bc[0].y1) == \
+            meta["c39_span"], i
+        found += 1
+    assert found >= 10                  # 10% draw over 200 plans
 
 
 def test_quarter_turned_barcode_page_recovers():
