@@ -56,6 +56,27 @@ for _i in range(255, 512):
     _EXP[_i] = _EXP[_i - 255]
 
 
+_EXP_NP = np.array(_EXP, dtype=np.int32)
+_LOG_NP = np.array(_LOG, dtype=np.int32)
+
+
+def _syndromes(codeword: list[int], nsym: int) -> np.ndarray:
+    """All nsym syndromes S_i = c(alpha^i) at once: XOR-reduce
+    EXP[(i*deg_j + log c_j) mod 255] over the nonzero coefficients —
+    exact GF(256) arithmetic on integer numpy tables.  This is the hot
+    path of every decode: undamaged symbols (the overwhelming case)
+    exit on the all-zero check without ever running Berlekamp-Massey."""
+    c = np.asarray(codeword, dtype=np.int32)
+    nz = np.nonzero(c)[0]
+    if nz.size == 0:
+        return np.zeros(nsym, dtype=np.int32)
+    deg = (c.size - 1 - nz) % 255
+    logc = _LOG_NP[c[nz]]
+    idx = (np.arange(nsym, dtype=np.int32)[:, None] * deg[None, :]
+           + logc[None, :]) % 255
+    return np.bitwise_xor.reduce(_EXP_NP[idx], axis=1)
+
+
 def _gf_mul(a: int, b: int) -> int:
     if a == 0 or b == 0:
         return 0
@@ -117,7 +138,7 @@ def rs_correct(codeword: list[int], nsym: int) -> list[int] | None:
     the highest-degree coefficient.  Berlekamp-Massey error locator,
     Chien root search, Forney magnitudes (the b=0 form carries the
     extra X_i factor)."""
-    synd = [_poly_eval(codeword, _EXP[i]) for i in range(nsym)]
+    synd = [int(s) for s in _syndromes(codeword, nsym)]
     if max(synd) == 0:
         return codeword
     # Berlekamp-Massey (sigma in ascending powers: sigma[i] = coeff x^i)
@@ -178,7 +199,7 @@ def rs_correct(codeword: list[int], nsym: int) -> list[int] | None:
             return None
         # b=0: e_i = X_i * Omega(X_i^-1) / sigma'(X_i^-1)
         out[pos] ^= _gf_mul(_gf_div(num, den), _EXP[deg % 255])
-    if any(_poly_eval(out, _EXP[i]) for i in range(nsym)):
+    if _syndromes(out, nsym).any():
         return None
     return out
 
