@@ -60,6 +60,21 @@ def test_qr_roundtrip_property(payload):
     assert qrcode.try_decode_region(qrcode.encode(payload)) == payload
 
 
+@settings(max_examples=100, deadline=None)
+@given(payload=st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                                "0123456789-. $/+%",
+                       min_size=1, max_size=24))
+def test_code39_roundtrip_property(payload):
+    """Any payload over the 43-char Code 39 set encodes to a symbol the
+    run-length decoder reads back verbatim, in both scan directions."""
+    import numpy as np
+    from ocr_gpu_services_spark.core import barcode
+    img = barcode.encode_code39(payload)
+    assert barcode.try_decode_code39(img) == payload
+    assert barcode.try_decode_code39(
+        np.ascontiguousarray(img[:, ::-1])) == payload
+
+
 @settings(max_examples=60, deadline=None)
 @given(seed=st.integers(0, 2 ** 20),
        deg_halves=st.integers(-16, 16),
