@@ -40,15 +40,22 @@ def get_atlas():
 
 
 def decode_image(payload: bytes):
-    """Format dispatch at the decode seam (PNG / baseline JPEG, gray or
-    color — the reference accepts any cv2-decodable upload and grays it
-    immediately, optional_services.py:61); color payloads convert to
-    luma here (core/color.py, cv2-exact weights) so everything past the
-    pixel array is the unchanged grayscale kernel.  Shared by the
-    extraction kernel and the multimodal table operators."""
+    """Format dispatch at the decode seam (PNG / JPEG / TIFF / BMP,
+    gray or color — the reference accepts any cv2-decodable upload and
+    grays it immediately, optional_services.py:61); color payloads
+    convert to luma here (core/color.py, cv2-exact weights) so
+    everything past the pixel array is the unchanged grayscale kernel.
+    Shared by the extraction kernel and the multimodal table
+    operators."""
     if payload[:3] == b"\xff\xd8\xff":
         from .jpeg import jpeg_decode
         img = jpeg_decode(payload)
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_decode
+        img = tiff_decode(payload)
+    elif payload[:2] == b"BM":
+        from .bmp import bmp_decode
+        img = bmp_decode(payload)
     else:
         img = png_decode(payload)
     if img.ndim == 3:

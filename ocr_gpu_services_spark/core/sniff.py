@@ -14,6 +14,9 @@ from __future__ import annotations
 MAGIC_PDF = b"%PDF-"
 MAGIC_PNG = b"\x89PNG\r\n\x1a\n"
 MAGIC_JPG = b"\xff\xd8\xff"
+MAGIC_TIFF_LE = b"II*\x00"
+MAGIC_TIFF_BE = b"MM\x00*"
+MAGIC_BMP = b"BM"
 
 CT_HTML = "html"
 CT_PDF = "pdf"
@@ -32,6 +35,13 @@ def sniff_content_type(payload: bytes | None, text: str | None) -> str:
         return CT_PDF
     if payload[:8] == MAGIC_PNG or payload[:3] == MAGIC_JPG:
         return CT_IMAGE
+    if payload[:4] == MAGIC_TIFF_LE or payload[:4] == MAGIC_TIFF_BE:
+        return CT_IMAGE
+    # "BM" alone is two ASCII letters any text can start with; require
+    # the BITMAPINFOHEADER size field (offset 14, little-endian) too
+    if payload[:2] == MAGIC_BMP and len(payload) >= 18 \
+            and payload[14:18] == b"\x28\x00\x00\x00":
+        return CT_IMAGE
     return CT_HTML
 
 
@@ -40,10 +50,53 @@ _PNG_FORMATS = {0: "png-gray", 2: "png-rgb", 3: "png-palette",
 _JPEG_SAMP = {0x11: "jpeg-444", 0x22: "jpeg-420", 0x21: "jpeg-422"}
 
 
+_TIFF_COMP = {1: "", 5: "-lzw", 32773: "-packbits"}
+
+
+def _probe_tiff(payload: bytes) -> str | None:
+    """tiff-{gray|rgb}[-lzw|-packbits] from the first IFD's tags."""
+    import struct
+    e = "<" if payload[:4] == MAGIC_TIFF_LE else ">"
+    try:
+        ifd = struct.unpack_from(e + "I", payload, 4)[0]
+        ntags = struct.unpack_from(e + "H", payload, ifd)[0]
+        spp, comp = 1, 1
+        for k in range(ntags):
+            t, ty, _c = struct.unpack_from(e + "HHI", payload,
+                                           ifd + 2 + 12 * k)
+            if t in (259, 277) and ty == 3:
+                v = struct.unpack_from(e + "H", payload,
+                                       ifd + 2 + 12 * k + 8)[0]
+                if t == 259:
+                    comp = v
+                else:
+                    spp = v
+    except struct.error:
+        return None
+    if comp not in _TIFF_COMP or spp not in (1, 3):
+        return None
+    return ("tiff-rgb" if spp == 3 else "tiff-gray") + _TIFF_COMP[comp]
+
+
 def probe_image_format(payload: bytes) -> str | None:
     """Sub-format of an image payload from its header bytes alone (the
     S3 breadth gate): PNG color type from IHDR, JPEG component count +
-    luma sampling factors from SOF0.  None if unprobeable."""
+    luma sampling factors from SOF0, BMP bit depth, TIFF samples +
+    compression from the first IFD.  None if unprobeable."""
+    if payload[:4] in (MAGIC_TIFF_LE, MAGIC_TIFF_BE):
+        return _probe_tiff(payload)
+    if payload[:2] == MAGIC_BMP and len(payload) >= 30:
+        bpp = int.from_bytes(payload[28:30], "little")
+        if bpp == 24:
+            return "bmp-rgb24"
+        if bpp == 8:
+            pal = payload[54:54 + 1024]
+            if len(pal) == 1024 and all(
+                    pal[4 * g] == pal[4 * g + 1] == pal[4 * g + 2]
+                    for g in range(256)):
+                return "bmp-gray8"
+            return "bmp-pal8"
+        return None
     if payload[:8] == MAGIC_PNG:
         if len(payload) < 26:
             return None

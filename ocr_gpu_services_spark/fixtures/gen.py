@@ -220,6 +220,21 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
     as_jpeg = rng.random() < 0.20 and allow_jpeg
     crng = random.Random(f"color:{i}") if allow_jpeg else None
     colorize = crng is not None and crng.random() < 0.40
+    # ~25% of correctness-scale non-JPEG rows ship in a scanner-native
+    # CONTAINER instead of PNG: BMP (8-bit gray-ramp / 24-bit BGR) or
+    # TIFF (none/PackBits/LZW strips, optional horizontal-differencing
+    # predictor, either byte order) — the formats cv2.imdecode accepts
+    # from real scan tooling (S3 breadth).  All lossless, so pixels and
+    # goldens are byte-identical to the PNG twin.  Side rng stream
+    # "rast1": at tiny it lands 7 rows covering every container kind,
+    # gray + color, and a big-endian TIFF.
+    trng = random.Random(f"rast1:{i}") if allow_jpeg else None
+    container = big_endian = None
+    if trng is not None and not as_jpeg and trng.random() < 0.25:
+        container = trng.choice(("bmp", "tiff", "tiff-packbits",
+                                 "tiff-lzw", "tiff-lzw-pred"))
+        if container != "bmp":
+            big_endian = trng.random() < 0.30
     if as_jpeg:
         from ..core.jpeg import jpeg_encode, jpeg_encode_color
         # ~35% of JPEG rows are PROGRESSIVE (SOF2, libjpeg-style scan
@@ -259,18 +274,38 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
                                 png_encode_rgba)
         from .colorize import colorize_exact
         rgb = colorize_exact(img, crng)
-        v = crng.random()
+        v = crng.random()          # PNG-variant draw happens regardless
+        if container is not None:  # (crng stream stays replayable)
+            return _encode_container(rgb, container, big_endian)
         if v < 0.40:
             return png_encode_rgb(rgb, interlace=adam7)
         if v < 0.70:
             return png_encode_palette(rgb)
         return png_encode_rgba(rgb)
     if crng is not None and crng.random() < 0.25:
+        if container is not None:
+            return _encode_container(img, container, big_endian)
         # gray+alpha PNG (color type 4): decode drops alpha, pixels and
         # goldens identical to the plain-gray twin
         from ..core.png import png_encode_graya
         return png_encode_graya(img)
+    if container is not None:
+        return _encode_container(img, container, big_endian)
     return png_encode(img, interlace=adam7)
+
+
+def _encode_container(img, kind: str, big_endian: bool | None) -> bytes:
+    """BMP / TIFF fixture container for a gray (HxW) or RGB (HxWx3)
+    render — all lossless, so extraction is byte-identical to PNG."""
+    if kind == "bmp":
+        from ..core.bmp import bmp_encode_gray8, bmp_encode_rgb24
+        return (bmp_encode_rgb24(img) if img.ndim == 3
+                else bmp_encode_gray8(img))
+    from ..core.tiff import tiff_encode
+    comp = {"tiff": "none", "tiff-packbits": "packbits",
+            "tiff-lzw": "lzw", "tiff-lzw-pred": "lzw"}[kind]
+    return tiff_encode(img, comp, predictor=kind.endswith("-pred"),
+                       big_endian=bool(big_endian))
 
 
 def image_row_pixels(rng: random.Random, i: int,
@@ -332,14 +367,35 @@ def image_row_format(rng: random.Random, i: int,
                 return "jpeg-prog-444"
             return "jpeg-420" if crng.random() < 0.5 else "jpeg-444"
         return "jpeg-prog-gray" if progressive else "jpeg-gray"
+    # container override (mirrors _image_page's "rast1" stream); the
+    # label matches what probe_image_format derives from the emitted
+    # header bytes — predictor is invisible to the probe by design
+    trng = random.Random(f"rast1:{i}") if at_corr_scale else None
+    container = None
+    if trng is not None and trng.random() < 0.25:
+        container = trng.choice(("bmp", "tiff", "tiff-packbits",
+                                 "tiff-lzw", "tiff-lzw-pred"))
+        if container != "bmp":
+            trng.random()                 # the byte-order draw
+    _comp_label = {"tiff": "", "tiff-packbits": "-packbits",
+                   "tiff-lzw": "-lzw", "tiff-lzw-pred": "-lzw"}
     if colorize:
         v = crng.random()
+        if container == "bmp":
+            return "bmp-rgb24"
+        if container is not None:
+            return "tiff-rgb" + _comp_label[container]
         if v < 0.40:
             return "png-rgb"
         if v < 0.70:
             return "png-palette"
         return "png-rgba"
-    if crng is not None and crng.random() < 0.25:
+    graya = crng is not None and crng.random() < 0.25
+    if container == "bmp":
+        return "bmp-gray8"
+    if container is not None:
+        return "tiff-gray" + _comp_label[container]
+    if graya:
         return "png-graya"
     return "png-gray"
 

@@ -17,6 +17,10 @@ from ..core.sniff import CT_HTML, CT_IMAGE, CT_PDF, CT_TEXT, CT_UNKNOWN
 _HEX_PDF = "255044462D"          # %PDF-
 _HEX_PNG = "89504E470D0A1A0A"    # \x89PNG\r\n\x1a\n
 _HEX_JPG = "FFD8FF"
+_HEX_TIFF_LE = "49492A00"        # II*\0
+_HEX_TIFF_BE = "4D4D002A"        # MM\0*
+_HEX_BMP = "424D"                # BM
+_HEX_DIB40 = "28000000"          # BITMAPINFOHEADER size at offset 14
 
 
 def content_type_col(html: str = "html", text: str = "text") -> Column:
@@ -28,5 +32,14 @@ def content_type_col(html: str = "html", text: str = "text") -> Column:
          .when(F.hex(F.substring(h, 1, 5)) == _HEX_PDF, F.lit(CT_PDF))
          .when(F.hex(F.substring(h, 1, 8)) == _HEX_PNG, F.lit(CT_IMAGE))
          .when(F.hex(F.substring(h, 1, 3)) == _HEX_JPG, F.lit(CT_IMAGE))
+         .when(F.hex(F.substring(h, 1, 4)) == _HEX_TIFF_LE,
+               F.lit(CT_IMAGE))
+         .when(F.hex(F.substring(h, 1, 4)) == _HEX_TIFF_BE,
+               F.lit(CT_IMAGE))
+         # "BM" alone is plain ASCII; require the DIB header size too
+         # (core/sniff.py keeps the identical rule)
+         .when((F.hex(F.substring(h, 1, 2)) == _HEX_BMP)
+               & (F.hex(F.substring(h, 15, 4)) == _HEX_DIB40),
+               F.lit(CT_IMAGE))
          .otherwise(F.lit(CT_HTML))
     )

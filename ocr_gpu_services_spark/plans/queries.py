@@ -944,9 +944,11 @@ def _image_formats_truth_values() -> str:
 def image_formats(spark, sf_dir):
     """S3 format breadth gate: probe every image payload's sub-format
     from its header bytes (PNG IHDR color type; JPEG SOF0 component
-    count + sampling factors — core/sniff.py probe_image_format) inside
-    mapInPandas.  The corpus carries gray/RGB/palette/RGBA PNG and
-    gray/4:4:4/4:2:0 YCbCr JPEG rows (reference parity: cv2.imdecode
+    count + sampling factors; BMP bit depth + palette grayness; TIFF
+    first-IFD samples/compression — core/sniff.py probe_image_format)
+    inside mapInPandas.  The corpus carries gray/RGB/palette/RGBA PNG,
+    gray/4:4:4/4:2:0 YCbCr JPEG, 8/24-bit BMP and none/PackBits/LZW
+    TIFF rows in both byte orders (reference parity: cv2.imdecode
     accepts all of these, /root/reference/src/api/v1/utils.py:15-18)."""
     import pandas as pd
 

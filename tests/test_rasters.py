@@ -1,0 +1,237 @@
+"""BMP + TIFF codecs (core/bmp.py, core/tiff.py): container round
+trips across compression/predictor/byte-order/strip layouts, the
+PackBits and TIFF-LZW primitives (incl. the early-change code widths
+and table resets), rejection of unsupported shapes, and the sniff /
+probe / decode-seam integration."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_gpu_services_spark.core import bmp, tiff
+from ocr_gpu_services_spark.core.extract import decode_image
+from ocr_gpu_services_spark.core.sniff import (probe_image_format,
+                                               sniff_content_type)
+
+_rs = np.random.RandomState(11)
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def test_bmp_gray_roundtrip():
+    g = _rs.randint(0, 256, (37, 53)).astype(np.uint8)
+    payload = bmp.bmp_encode_gray8(g)
+    assert np.array_equal(bmp.bmp_decode(payload), g)
+    assert sniff_content_type(payload, None) == "image"
+    assert probe_image_format(payload) == "bmp-gray8"
+
+
+def test_bmp_rgb_roundtrip():
+    c = _rs.randint(0, 256, (41, 29, 3)).astype(np.uint8)
+    payload = bmp.bmp_encode_rgb24(c)
+    assert np.array_equal(bmp.bmp_decode(payload), c)
+    assert probe_image_format(payload) == "bmp-rgb24"
+
+
+def test_bmp_top_down_and_color_palette():
+    g = _rs.randint(0, 256, (10, 16)).astype(np.uint8)
+    buf = bytearray(bmp.bmp_encode_gray8(g))
+    # flip height negative (top-down) and pre-flip the pixel rows
+    h = struct.unpack_from("<i", buf, 22)[0]
+    struct.pack_into("<i", buf, 22, -h)
+    off = struct.unpack_from("<I", buf, 10)[0]
+    stride = (16 + 3) & ~3
+    rows = np.frombuffer(bytes(buf[off:]), np.uint8).reshape(h, stride)
+    buf[off:] = rows[::-1].tobytes()
+    assert np.array_equal(bmp.bmp_decode(bytes(buf)), g)
+    # non-gray palette decodes through the palette to RGB
+    buf = bytearray(bmp.bmp_encode_gray8(g))
+    pal_off = 54
+    buf[pal_off:pal_off + 4] = bytes([10, 20, 30, 0])    # B G R for idx 0
+    out = bmp.bmp_decode(bytes(buf))
+    assert out.ndim == 3
+    assert tuple(out[g == 0][0]) == (30, 20, 10) if (g == 0).any() else True
+    assert probe_image_format(bytes(buf)) == "bmp-pal8"
+
+
+def test_bmp_rejects():
+    with pytest.raises(ValueError):
+        bmp.bmp_decode(b"BM" + b"\x00" * 60)             # zero dims
+    buf = bytearray(bmp.bmp_encode_gray8(np.zeros((4, 4), np.uint8)))
+    struct.pack_into("<I", buf, 30, 1)                   # BI_RLE8
+    with pytest.raises(ValueError):
+        bmp.bmp_decode(bytes(buf))
+    with pytest.raises(ValueError):
+        bmp.bmp_decode(bmp.bmp_encode_gray8(
+            np.zeros((8, 8), np.uint8))[:-10])           # truncated
+
+
+# ---------------------------------------------------------------------------
+# PackBits / LZW primitives
+# ---------------------------------------------------------------------------
+
+def test_packbits_known_vector():
+    # the TIFF 6.0 spec's worked example
+    data = bytes([0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA,
+                  0xAA, 0xAA, 0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA,
+                  0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA])
+    enc = tiff.packbits_encode(data)
+    assert tiff.packbits_decode(enc, len(data)) == data
+    spec = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+                  0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    assert tiff.packbits_decode(spec, len(data)) == data
+
+
+def test_lzw_roundtrip_structured_and_random():
+    for trial in range(30):
+        n = int(_rs.randint(0, 60000))
+        if trial % 2:
+            data = bytes(_rs.randint(0, 256, n).astype(np.uint8))
+        else:
+            pat = bytes(_rs.randint(0, 4, 97).astype(np.uint8))
+            data = (pat * (n // 97 + 1))[:n]
+        assert tiff.lzw_decode(tiff.lzw_encode(data), n) == data
+
+
+def test_lzw_width_growth_and_reset():
+    # all-distinct pairs force steady table growth through every width
+    # switch and past the 4094 reset
+    data = bytes(range(256)) * 64
+    enc = tiff.lzw_encode(data)
+    assert tiff.lzw_decode(enc, len(data)) == data
+    assert len(enc) < len(data)          # repeated blocks do compress
+    with pytest.raises(ValueError):
+        tiff.lzw_decode(enc[:-8], len(data))             # truncated
+
+
+# ---------------------------------------------------------------------------
+# TIFF container
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("be", [False, True])
+@pytest.mark.parametrize("comp,pred", [("none", False),
+                                       ("packbits", False),
+                                       ("lzw", False), ("lzw", True)])
+def test_tiff_roundtrip(be, comp, pred):
+    g = _rs.randint(0, 256, (150, 201)).astype(np.uint8)
+    t = tiff.tiff_encode(g, comp, predictor=pred, big_endian=be)
+    assert np.array_equal(tiff.tiff_decode(t), g)
+    assert sniff_content_type(t, None) == "image"
+    want = "tiff-gray" + {"none": "", "packbits": "-packbits",
+                          "lzw": "-lzw"}[comp]
+    assert probe_image_format(t) == want
+    c = _rs.randint(0, 256, (131, 77, 3)).astype(np.uint8)
+    t = tiff.tiff_encode(c, comp, predictor=pred, big_endian=be)
+    assert np.array_equal(tiff.tiff_decode(t), c)
+    assert probe_image_format(t) == want.replace("gray", "rgb")
+
+
+@pytest.mark.parametrize("h", [1, 63, 64, 65, 129])
+def test_tiff_strip_boundaries(h):
+    g = _rs.randint(0, 256, (h, 80)).astype(np.uint8)
+    for comp in ("none", "packbits", "lzw"):
+        assert np.array_equal(
+            tiff.tiff_decode(tiff.tiff_encode(g, comp)), g), (h, comp)
+
+
+def test_tiff_white_is_zero():
+    g = _rs.randint(0, 256, (20, 30)).astype(np.uint8)
+    buf = bytearray(tiff.tiff_encode(255 - g, "none"))
+    ntags = struct.unpack_from("<H", buf, 8)[0]
+    for k in range(ntags):
+        off = 10 + 12 * k
+        if struct.unpack_from("<H", buf, off)[0] == 262:
+            struct.pack_into("<H", buf, off + 8, 0)
+    assert np.array_equal(tiff.tiff_decode(bytes(buf)), g)
+
+
+def test_tiff_rejects():
+    g = np.zeros((8, 8), np.uint8)
+    buf = bytearray(tiff.tiff_encode(g, "none"))
+    ntags = struct.unpack_from("<H", buf, 8)[0]
+    for k in range(ntags):
+        off = 10 + 12 * k
+        if struct.unpack_from("<H", buf, off)[0] == 259:
+            struct.pack_into("<H", buf, off + 8, 7)      # JPEG-in-TIFF
+    with pytest.raises(ValueError):
+        tiff.tiff_decode(bytes(buf))
+    with pytest.raises(ValueError):
+        tiff.tiff_decode(b"II*\x00" + b"\xff" * 20)
+    with pytest.raises(ValueError):
+        tiff.tiff_decode(tiff.tiff_encode(g, "lzw")[:-4])
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2 ** 20), h=st.integers(1, 90),
+       w=st.integers(1, 90), color=st.booleans(),
+       comp=st.sampled_from(["none", "packbits", "lzw"]))
+def test_tiff_roundtrip_property(seed, h, w, color, comp):
+    rs = np.random.RandomState(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rs.randint(0, 256, shape).astype(np.uint8)
+    t = tiff.tiff_encode(img, comp, predictor=(comp == "lzw"
+                                               and seed % 2 == 0))
+    assert np.array_equal(tiff.tiff_decode(t), img)
+
+
+# ---------------------------------------------------------------------------
+# decode seam + fixture integration
+# ---------------------------------------------------------------------------
+
+def test_decode_image_dispatch():
+    g = _rs.randint(0, 256, (25, 40)).astype(np.uint8)
+    assert np.array_equal(decode_image(bmp.bmp_encode_gray8(g)), g)
+    assert np.array_equal(decode_image(tiff.tiff_encode(g, "lzw")), g)
+    c = _rs.randint(0, 256, (25, 40, 3)).astype(np.uint8)
+    from ocr_gpu_services_spark.core.color import rgb_to_gray
+    assert np.array_equal(decode_image(bmp.bmp_encode_rgb24(c)),
+                          rgb_to_gray(c))
+    assert np.array_equal(decode_image(tiff.tiff_encode(c, "packbits")),
+                          rgb_to_gray(c))
+
+
+def test_container_fixture_rows_extract_identically():
+    """Every tiny container row (side stream rast1) must extract
+    byte-identically to its PNG twin — the containers are lossless and
+    the colorization is exact-luma."""
+    import random
+
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.fixtures import gen
+    get_atlas()
+    n = gen.SCALES["tiny"]
+    pdf_block = range(int(n * 0.55), int(n * 0.55) + max(2, n // 25))
+    n_cont = 0
+    for i in range(n):
+        rng_i = random.Random((7 << 20) ^ i)
+        if gen._row_kind(i, rng_i.random(), pdf_block) != "image":
+            continue
+        rng_i = random.Random((7 << 20) ^ i)
+        rng_i.random()
+        fmt = gen.image_row_format(rng_i, i)
+        if not fmt.startswith(("bmp", "tiff")):
+            continue
+        n_cont += 1
+        rng_i = random.Random((7 << 20) ^ i)
+        rng_i.random()
+        payload = gen._image_page(rng_i, i, allow_jpeg=True)
+        assert probe_image_format(bytes(payload)) == fmt, (i, fmt)
+        got = extract_document(bytes(payload), None)
+        # PNG twin: rerun with containers disabled by re-encoding the
+        # ground-truth pixels
+        rng_i = random.Random((7 << 20) ^ i)
+        rng_i.random()
+        from ocr_gpu_services_spark.core.png import png_encode
+        twin = extract_document(png_encode(
+            gen.image_row_pixels(rng_i, i)), None)
+        assert got[1] == twin[1], (i, fmt)               # text identical
+        assert [s.as_dict() for s in got[2]] == \
+            [s.as_dict() for s in twin[2]], (i, fmt)     # spans identical
+        assert got[5] is None
+    assert n_cont >= 5          # rast1 plants 7 container rows in tiny
