@@ -64,6 +64,23 @@ def _encode_raw(arr2d: np.ndarray, ctype: int, w: int, h: int,
             + _chunk(b"IEND", b""))
 
 
+def png_encode_bilevel(gray: np.ndarray) -> bytes:
+    """1-bit grayscale PNG (depth 1, color type 0) — the native shape
+    of bilevel scans.  Input must be strictly two-valued {0, 255}."""
+    if gray.ndim != 2 or gray.dtype != np.uint8:
+        raise ValueError("png_encode_bilevel wants HxW uint8")
+    vals = np.unique(gray)
+    if not set(vals.tolist()) <= {0, 255}:
+        raise ValueError("png_encode_bilevel wants strictly {0,255}")
+    h, w = gray.shape
+    packed = np.packbits(gray > 127, axis=1)     # 1 = white per PNG gray
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + packed[r].tobytes() for r in range(h))
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 6))
+            + _chunk(b"IEND", b""))
+
+
 def png_encode(gray: np.ndarray, interlace: bool = False) -> bytes:
     """Encode a 2-D uint8 array as grayscale PNG (color type 0);
     ``interlace`` emits the Adam7 seven-pass layout."""
@@ -204,10 +221,11 @@ def png_decode(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             width, height, depth, ctype, _comp, _filt, ilace = \
                 struct.unpack(">IIBBBBB", body[:13])
-            if depth != 8 or ctype not in _BPP:
+            if not (depth == 8 and ctype in _BPP) \
+                    and not (depth == 1 and ctype == 0):
                 raise ValueError(
                     f"unsupported PNG (depth {depth}, color type {ctype})")
-            if ilace not in (0, 1):
+            if ilace not in (0, 1) or (depth == 1 and ilace):
                 raise ValueError(f"bad interlace method {ilace}")
         elif tag == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
@@ -219,6 +237,13 @@ def png_decode(data: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
+    if depth == 1:
+        # bilevel: filters act on the packed row bytes (bpp quantum 1);
+        # unpack MSB-first, 1 = white per the PNG grayscale convention
+        rowbytes = (width + 7) // 8
+        flat = _unfilter(raw, height, rowbytes, 1)
+        bits = np.unpackbits(flat, axis=1)[:, :width]
+        return (bits * np.uint8(255)).astype(np.uint8)
     bpp = _BPP[ctype]
     flat = _deinterlace(raw, height, width, bpp) if ilace \
         else _unfilter(raw, height, width, bpp)

@@ -50,7 +50,7 @@ _PNG_FORMATS = {0: "png-gray", 2: "png-rgb", 3: "png-palette",
 _JPEG_SAMP = {0x11: "jpeg-444", 0x22: "jpeg-420", 0x21: "jpeg-422"}
 
 
-_TIFF_COMP = {1: "", 5: "-lzw", 32773: "-packbits"}
+_TIFF_COMP = {1: "", 4: "-g4", 5: "-lzw", 32773: "-packbits"}
 
 
 def _probe_tiff(payload: bytes) -> str | None:
@@ -60,22 +60,26 @@ def _probe_tiff(payload: bytes) -> str | None:
     try:
         ifd = struct.unpack_from(e + "I", payload, 4)[0]
         ntags = struct.unpack_from(e + "H", payload, ifd)[0]
-        spp, comp = 1, 1
+        spp, comp, bits = 1, 1, 8
         for k in range(ntags):
-            t, ty, _c = struct.unpack_from(e + "HHI", payload,
-                                           ifd + 2 + 12 * k)
-            if t in (259, 277) and ty == 3:
+            t, ty, c = struct.unpack_from(e + "HHI", payload,
+                                          ifd + 2 + 12 * k)
+            if t in (258, 259, 277) and ty == 3 and c == 1:
                 v = struct.unpack_from(e + "H", payload,
                                        ifd + 2 + 12 * k + 8)[0]
                 if t == 259:
                     comp = v
-                else:
+                elif t == 277:
                     spp = v
+                else:
+                    bits = v
     except struct.error:
         return None
     if comp not in _TIFF_COMP or spp not in (1, 3):
         return None
-    return ("tiff-rgb" if spp == 3 else "tiff-gray") + _TIFF_COMP[comp]
+    base = ("tiff-rgb" if spp == 3
+            else "tiff-bilevel" if bits == 1 else "tiff-gray")
+    return base + _TIFF_COMP[comp]
 
 
 def probe_image_format(payload: bytes) -> str | None:
@@ -100,6 +104,8 @@ def probe_image_format(payload: bytes) -> str | None:
     if payload[:8] == MAGIC_PNG:
         if len(payload) < 26:
             return None
+        if payload[24] == 1:                     # IHDR bit depth 1
+            return "png-bilevel" if payload[25] == 0 else None
         return _PNG_FORMATS.get(payload[25])     # IHDR byte 9 = color type
     if payload[:3] == MAGIC_JPG:
         i = 2

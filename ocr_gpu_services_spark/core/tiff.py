@@ -224,12 +224,15 @@ _ROWS_PER_STRIP = 64
 
 
 def tiff_encode(img: np.ndarray, compression: str = "none",
-                predictor: bool = False, big_endian: bool = False
-                ) -> bytes:
+                predictor: bool = False, big_endian: bool = False,
+                bilevel: bool = False) -> bytes:
     """HxW uint8 gray or HxWx3 uint8 RGB -> classic TIFF bytes.
 
     compression: 'none' | 'packbits' | 'lzw'.  predictor=True applies
     horizontal differencing (LZW strips only, per real-world usage).
+    bilevel=True packs a strictly-{0,255} gray image as BitsPerSample 1
+    with the fax convention (PhotometricInterpretation 0 MinIsWhite,
+    bit 1 = black ink), rows byte-aligned per the spec.
     """
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("tiff_encode wants HxW or HxWx3 uint8")
@@ -237,10 +240,18 @@ def tiff_encode(img: np.ndarray, compression: str = "none",
         raise ValueError("tiff_encode wants 3 samples for color")
     if predictor and compression != "lzw":
         raise ValueError("predictor is emitted for lzw strips only")
+    if bilevel:
+        if img.ndim != 2 or not set(np.unique(img).tolist()) <= {0, 255}:
+            raise ValueError("bilevel wants strictly {0,255} gray")
+        if predictor:
+            raise ValueError("predictor does not apply to bilevel")
+    if compression == "g4" and not bilevel:
+        raise ValueError("G4 applies to bilevel images only")
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else 3
     rows3 = img.reshape(h, w, spp)
-    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5,
+               "g4": 4}[compression]
     e = ">" if big_endian else "<"
 
     strips: list[bytes] = []
@@ -248,7 +259,16 @@ def tiff_encode(img: np.ndarray, compression: str = "none",
         chunk = rows3[y0:y0 + _ROWS_PER_STRIP]
         if predictor:
             chunk = _predict2_encode(chunk)
-        raw = chunk.tobytes()
+        if compression == "g4":
+            # semantic black = ink; each strip is its own T.6 entity
+            from .ccitt import g4_encode
+            strips.append(g4_encode(chunk[:, :, 0] < 128))
+            continue
+        if bilevel:
+            # MinIsWhite: ink (gray 0) packs as bit 1
+            raw = np.packbits(chunk[:, :, 0] < 128, axis=1).tobytes()
+        else:
+            raw = chunk.tobytes()
         if compression == "none":
             strips.append(raw)
         elif compression == "packbits":
@@ -285,9 +305,9 @@ def tiff_encode(img: np.ndarray, compression: str = "none",
         # BitsPerSample count 3 -> out of line (3 SHORTs = 6 bytes)
         tags.append((_T_BITS, 3, 3, 0))        # offset patched below
     else:
-        tag_short(_T_BITS, 8)
+        tag_short(_T_BITS, 1 if bilevel else 8)
     tag_short(_T_COMP, comp_id)
-    tag_short(_T_PHOTO, 2 if spp == 3 else 1)
+    tag_short(_T_PHOTO, 2 if spp == 3 else (0 if bilevel else 1))
     if spp == 3:
         tag_short(_T_SPP, 3)
     else:
@@ -389,11 +409,14 @@ def tiff_decode(payload: bytes) -> np.ndarray:
         raise ValueError("TIFF: bad dimensions")
     spp = one(_T_SPP, 1)
     bits = tags.get(_T_BITS, [8])
-    if spp not in (1, 3) or any(b != 8 for b in bits):
+    bilevel = bits == [1] and spp == 1
+    if spp not in (1, 3) or (not bilevel and any(b != 8 for b in bits)):
         raise ValueError(f"TIFF: unsupported spp={spp} bits={bits}")
     comp = one(_T_COMP, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 4, 5, 32773):
         raise ValueError(f"TIFF: unsupported compression {comp}")
+    if comp == 4 and not bilevel:
+        raise ValueError("TIFF: G4 on non-bilevel image")
     photo = one(_T_PHOTO)
     if photo not in (0, 1, 2):
         raise ValueError(f"TIFF: unsupported photometric {photo}")
@@ -408,6 +431,7 @@ def tiff_decode(payload: bytes) -> np.ndarray:
     if not offs or not cnts or len(offs) != len(cnts):
         raise ValueError("TIFF: bad strip tables")
 
+    rowbytes = (w + 7) // 8 if bilevel else w * spp
     chunks = []
     for k, (off, cnt) in enumerate(zip(offs, cnts)):
         if off + cnt > len(payload):
@@ -415,9 +439,17 @@ def tiff_decode(payload: bytes) -> np.ndarray:
         n_rows = min(rows_per_strip, h - k * rows_per_strip)
         if n_rows <= 0:
             raise ValueError("TIFF: too many strips")
-        expected = n_rows * w * spp
+        expected = n_rows * rowbytes
         raw = payload[off:off + cnt]
-        if comp == 1:
+        if comp == 4:
+            # T.6 decode yields semantic black; re-express as the raw
+            # bit convention the photometric tail expects (photo 0:
+            # bit 1 = min = white-is-min -> ink)
+            from .ccitt import g4_decode
+            blk = g4_decode(raw, w, n_rows)
+            bits1 = blk if photo == 0 else ~blk
+            raw = np.packbits(bits1, axis=1).tobytes()
+        elif comp == 1:
             if len(raw) < expected:
                 raise ValueError("TIFF: truncated strip")
             raw = raw[:expected]
@@ -425,8 +457,16 @@ def tiff_decode(payload: bytes) -> np.ndarray:
             raw = packbits_decode(raw, expected)
         else:
             raw = lzw_decode(raw, expected)
-        strip = np.frombuffer(raw, np.uint8).reshape(n_rows, w, spp)
+        if bilevel:
+            packed = np.frombuffer(raw, np.uint8).reshape(n_rows,
+                                                          rowbytes)
+            b = np.unpackbits(packed, axis=1)[:, :w]
+            strip = (b * np.uint8(255)).reshape(n_rows, w, 1)
+        else:
+            strip = np.frombuffer(raw, np.uint8).reshape(n_rows, w, spp)
         if predictor == 2:
+            if bilevel:
+                raise ValueError("TIFF: predictor on bilevel")
             strip = _predict2_decode(strip)
         chunks.append(strip)
     img = np.concatenate(chunks, axis=0)

@@ -235,6 +235,22 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
                                  "tiff-lzw", "tiff-lzw-pred"))
         if container != "bmp":
             big_endian = trng.random() < 0.30
+    # BILEVEL rows: every correctness-scale page whose render is
+    # provably two-valued (no scanner bed, no perspective capture — the
+    # compositor only ever writes ink 0 / paper 255 then) and that is
+    # neither JPEG nor colorized ships as a 1-bit scan — the native
+    # shape of fax/scan output: 1-bit PNG or bilevel TIFF
+    # (none / PackBits / CCITT Group 4 per core/ccitt.py).  Lossless
+    # and exactly two-valued, so extraction and goldens are
+    # byte-identical to the 8-bit gray twin.  The kind cycles on the
+    # "fax15" side stream, chosen so tiny covers all four kinds.
+    _BILEVEL_KINDS = ("png-bilevel", "tiff-bilevel",
+                      "tiff-bilevel-packbits", "tiff-bilevel-g4")
+    bilevel_kind = None
+    if (allow_jpeg and not as_jpeg
+            and plan["bed"] is None and plan["persp"] is None):
+        bilevel_kind = _BILEVEL_KINDS[
+            random.Random(f"fax15:{i}").randrange(4)]
     if as_jpeg:
         from ..core.jpeg import jpeg_encode, jpeg_encode_color
         # ~35% of JPEG rows are PROGRESSIVE (SOF2, libjpeg-style scan
@@ -282,6 +298,8 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
         if v < 0.70:
             return png_encode_palette(rgb)
         return png_encode_rgba(rgb)
+    if bilevel_kind is not None:
+        return _encode_bilevel(img, bilevel_kind)
     if crng is not None and crng.random() < 0.25:
         if container is not None:
             return _encode_container(img, container, big_endian)
@@ -292,6 +310,17 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
     if container is not None:
         return _encode_container(img, container, big_endian)
     return png_encode(img, interlace=adam7)
+
+
+def _encode_bilevel(img, kind: str) -> bytes:
+    """1-bit scan container for a strictly-{0,255} gray render."""
+    if kind == "png-bilevel":
+        from ..core.png import png_encode_bilevel
+        return png_encode_bilevel(img)
+    from ..core.tiff import tiff_encode
+    comp = {"tiff-bilevel": "none", "tiff-bilevel-packbits": "packbits",
+            "tiff-bilevel-g4": "g4"}[kind]
+    return tiff_encode(img, comp, bilevel=True)
 
 
 def _encode_container(img, kind: str, big_endian: bool | None) -> bytes:
@@ -351,7 +380,7 @@ def image_row_format(rng: random.Random, i: int,
     format; side stream: colorize, two tint draws inside
     ``colorize_exact``, then the variant/subsampling draw) without
     rendering or encoding anything."""
-    imagegen.image_plan(rng, i)
+    plan = imagegen.image_plan(rng, i)
     at_corr_scale = scale in ("tiny", "small")
     as_jpeg = rng.random() < 0.20 and at_corr_scale
     crng = random.Random(f"color:{i}") if at_corr_scale else None
@@ -390,6 +419,12 @@ def image_row_format(rng: random.Random, i: int,
         if v < 0.70:
             return "png-palette"
         return "png-rgba"
+    if (at_corr_scale and plan["bed"] is None
+            and plan["persp"] is None):
+        # bilevel wins (mirrors _image_page: the graya draw is skipped)
+        return ("png-bilevel", "tiff-bilevel", "tiff-bilevel-packbits",
+                "tiff-bilevel-g4")[
+            random.Random(f"fax15:{i}").randrange(4)]
     graya = crng is not None and crng.random() < 0.25
     if container == "bmp":
         return "bmp-gray8"

@@ -180,6 +180,99 @@ def test_tiff_roundtrip_property(seed, h, w, color, comp):
 
 
 # ---------------------------------------------------------------------------
+# bilevel (1-bit) containers + CCITT Group 4
+# ---------------------------------------------------------------------------
+
+def test_png_bilevel_roundtrip():
+    from ocr_gpu_services_spark.core.png import (png_decode,
+                                                 png_encode_bilevel)
+    for h, w in ((40, 65), (64, 64), (1, 1), (3, 200)):
+        g = ((_rs.rand(h, w) < 0.3) * 255).astype(np.uint8)
+        p = png_encode_bilevel(g)
+        assert np.array_equal(png_decode(p), g)
+        assert probe_image_format(p) == "png-bilevel"
+    with pytest.raises(ValueError):
+        png_encode_bilevel(np.full((4, 4), 128, np.uint8))
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "g4"])
+@pytest.mark.parametrize("be", [False, True])
+def test_tiff_bilevel_roundtrip(comp, be):
+    g = ((_rs.rand(130, 333) < 0.25) * 255).astype(np.uint8)
+    t = tiff.tiff_encode(g, comp, bilevel=True, big_endian=be)
+    assert np.array_equal(tiff.tiff_decode(t), g)
+    want = "tiff-bilevel" + {"none": "", "packbits": "-packbits",
+                             "g4": "-g4"}[comp]
+    assert probe_image_format(t) == want
+    assert np.array_equal(decode_image(t), g)
+
+
+def test_g4_roundtrip_shapes():
+    from ocr_gpu_services_spark.core import ccitt
+    cases = [np.zeros((10, 40), bool), np.ones((10, 40), bool)]
+    for _ in range(20):
+        h, w = int(_rs.randint(1, 80)), int(_rs.randint(1, 200))
+        cases.append(_rs.rand(h, w) < _rs.uniform(0.05, 0.95))
+    for k, img in enumerate(cases):
+        enc = ccitt.g4_encode(img)
+        assert np.array_equal(
+            ccitt.g4_decode(enc, img.shape[1], img.shape[0]), img), k
+
+
+def test_g4_hand_derived_vectors():
+    """Pins the T.4/T.6 tables against transcription errors: the exact
+    bit stream of two tiny images, derived by hand from the spec.
+    Row WWBBBWWW codes as horizontal (001) + white-run-2 (0111) +
+    black-run-3 (10), then V0 (1); a second row shifted right by one
+    codes as VR1 VR1 V0 (011 011 1)."""
+    from ocr_gpu_services_spark.core import ccitt
+    img = np.zeros((1, 8), bool)
+    img[0, 2:5] = True
+    assert ccitt.g4_encode(img) == bytes([0x2F, 0x40, 0x04, 0x00, 0x40])
+    img2 = np.zeros((2, 8), bool)
+    img2[0, 2:5] = True
+    img2[1, 3:6] = True
+    bits = "".join(f"{b:08b}" for b in ccitt.g4_encode(img2))
+    assert bits.startswith("0010111101" + "0110111")
+    assert np.array_equal(ccitt.g4_decode(ccitt.g4_encode(img2), 8, 2),
+                          img2)
+
+
+def test_g4_compresses_text_like_pages():
+    from ocr_gpu_services_spark.core import ccitt
+    img = np.zeros((400, 1000), bool)
+    img[50:60, 100:900] = True
+    img[100:350:12, 100:800] = True
+    enc = ccitt.g4_encode(img)
+    assert len(enc) * 50 < img.size // 8          # >50x vs packed bits
+
+
+def test_g4_truncation_rejected():
+    from ocr_gpu_services_spark.core import ccitt
+    img = _rs.rand(30, 100) < 0.4
+    enc = ccitt.g4_encode(img)
+    with pytest.raises(ValueError):
+        ccitt.g4_decode(enc[:len(enc) // 2], 100, 30)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2 ** 20), h=st.integers(1, 60),
+       w=st.integers(1, 150),
+       kind=st.sampled_from(["png", "none", "packbits", "g4"]))
+def test_bilevel_roundtrip_property(seed, h, w, kind):
+    rs = np.random.RandomState(seed)
+    g = ((rs.rand(h, w) < rs.uniform(0.1, 0.9)) * 255).astype(np.uint8)
+    if kind == "png":
+        from ocr_gpu_services_spark.core.png import (png_decode,
+                                                     png_encode_bilevel)
+        assert np.array_equal(png_decode(png_encode_bilevel(g)), g)
+    else:
+        t = tiff.tiff_encode(g, kind, bilevel=True,
+                             big_endian=bool(seed % 2))
+        assert np.array_equal(tiff.tiff_decode(t), g)
+
+
+# ---------------------------------------------------------------------------
 # decode seam + fixture integration
 # ---------------------------------------------------------------------------
 
@@ -215,7 +308,7 @@ def test_container_fixture_rows_extract_identically():
         rng_i = random.Random((7 << 20) ^ i)
         rng_i.random()
         fmt = gen.image_row_format(rng_i, i)
-        if not fmt.startswith(("bmp", "tiff")):
+        if not fmt.startswith(("bmp", "tiff", "png-bilevel")):
             continue
         n_cont += 1
         rng_i = random.Random((7 << 20) ^ i)
