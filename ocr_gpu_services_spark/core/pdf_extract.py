@@ -482,10 +482,12 @@ def _page_scan_images(body: bytes, objs: dict[int, bytes]):
 
     Subset: /DeviceGray OR /DeviceRGB 8-bit, as a Flate/raw raster OR
     a /DCTDecode (embedded baseline/progressive JPEG — what real
-    scan-to-PDF tools emit, decoded by core/jpeg).  Color rasters
-    convert through the cv2-exact luma bridge (core/color.py), the
-    same seam the standalone image route uses.  Returns [] when the
-    page has no decodable image."""
+    scan-to-PDF tools emit, decoded by core/jpeg) OR a 1-bit
+    /CCITTFaxDecode Group 4 fax stream (/K -1, core/ccitt.py — the
+    other shape real scan tooling emits).  Color rasters convert
+    through the cv2-exact luma bridge (core/color.py), the same seam
+    the standalone image route uses.  Returns [] when the page has no
+    decodable image."""
     from .color import rgb_to_gray
     out = []
     xm = _XOBJ_DICT_RE.search(body)
@@ -501,12 +503,27 @@ def _page_scan_images(body: bytes, objs: dict[int, bytes]):
         is_rgb = bool(_IMG_RGB_RE.search(xbody))
         if not (wm and hm and (is_rgb or _IMG_GRAY_RE.search(xbody))):
             continue
-        if bm and int(bm.group(1)) != 8:
+        is_ccitt = b"/CCITTFaxDecode" in xbody
+        if bm and int(bm.group(1)) != (1 if is_ccitt else 8):
             continue
         raw = _object_stream(xbody)
         if raw is None:
             continue
         w, h = int(wm.group(1)), int(hm.group(1))
+        if is_ccitt:
+            # bilevel fax scan (the native scan-to-PDF shape): Group 4
+            # only (/K -1); with the PDF default BlackIs1=false a black
+            # run is sample 0, i.e. /DeviceGray ink
+            km = re.search(rb"/K\s+(-?\d+)", xbody)
+            if km is None or int(km.group(1)) != -1 or is_rgb:
+                continue
+            from .ccitt import g4_decode
+            try:
+                black = g4_decode(raw, w, h)
+            except (ValueError, IndexError):
+                continue
+            out.append(np.where(black, 0, 255).astype(np.uint8))
+            continue
         if _IMG_DCT_RE.search(xbody):
             from .jpeg import jpeg_decode
             try:

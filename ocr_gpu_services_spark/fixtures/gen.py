@@ -132,10 +132,17 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
             # JPEG band contract) keeps extraction byte-identical
             crng = random.Random(f"pdfcolor:{i}:{p}")
             color = crng.random() < 0.30
+            # ~45% of ELIGIBLE scan pages (bilevel-provable plan, not
+            # color, not /DCTDecode) embed as /CCITTFaxDecode Group 4
+            # (/K -1) — the fax shape of real scan-to-PDF output.
+            # Side stream: the salt "pdfg4" lands 3 tiny pages.
+            grng = random.Random(f"pdfg4:{i}:{p}")
+            ccitt = grng.random() < 0.45
             pages.append({"kind": "scan",
                           "plan": imagegen.image_plan(rng, i * 7 + p),
                           "xdct": rng.random() < 0.30,
                           "rotate": rot, "color": color,
+                          "ccitt": ccitt,
                           "color_key": f"pdfcolor:{i}:{p}"})
         else:
             n_lines = rng.randint(4, 10)
@@ -168,6 +175,13 @@ def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
                 img = colorize_exact(img, crng)
             if pg.get("xdct") and allow_dct:
                 pages.append(DctScanPage(img, rotate=rot))
+            elif (pg.get("ccitt") and allow_dct and img.ndim == 2
+                  and pg["plan"]["bed"] is None
+                  and pg["plan"]["persp"] is None):
+                # provably two-valued render (same argument as the
+                # standalone bilevel rows) -> fax-shape embedding
+                from .pdf_write import CcittScanPage
+                pages.append(CcittScanPage(img, rotate=rot))
             elif rot or img.ndim == 3:
                 pages.append(ScanPage(img, rotate=rot))
             else:

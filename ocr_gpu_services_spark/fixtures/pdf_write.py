@@ -91,6 +91,20 @@ class ScanPage:
         self.rotate = rotate
 
 
+class CcittScanPage:
+    """A BILEVEL scan page embedded as a /CCITTFaxDecode (Group 4,
+    /K -1) image XObject — the native output of fax and scan-to-PDF
+    tooling (core/ccitt.py).  The raster must be strictly {0, 255};
+    with the PDF default BlackIs1=false, decoded black runs are 0 bits
+    and /DeviceGray sample 0 is black, so extraction is byte-identical
+    to the 8-bit Flate twin.  Same /Rotate storage convention as
+    ScanPage."""
+
+    def __init__(self, img, rotate: int = 0):
+        self.img = img
+        self.rotate = rotate
+
+
 class CidPage:
     """A page whose text is shown through a Type0 (CID) font: 2-byte
     codes in the content stream, /ToUnicode CMap mapping them back.
@@ -170,6 +184,9 @@ def build_pdf(pages: list, *, compress: bool = False,
         elif isinstance(p, DctScanPage):
             entries.append(("dct", nxt, nxt + 1, nxt + 2))
             nxt += 3
+        elif isinstance(p, CcittScanPage):
+            entries.append(("ccitt", nxt, nxt + 1, nxt + 2))
+            nxt += 3
         else:
             entries.append(("scan", nxt, nxt + 1, nxt + 2))
             nxt += 3
@@ -206,7 +223,7 @@ def build_pdf(pages: list, *, compress: bool = False,
             ).encode()
             objs[tnum] = stream_obj(page.tounicode())
         else:
-            if pkind == "dct" or isinstance(page, ScanPage):
+            if pkind in ("dct", "ccitt") or isinstance(page, ScanPage):
                 rotate = page.rotate % 360
                 arr = page.img
                 if rotate:
@@ -234,6 +251,15 @@ def build_pdf(pages: list, *, compress: bool = False,
                     f"/Type /XObject /Subtype /Image /Width {w} "
                     f"/Height {h} /ColorSpace {cs} "
                     f"/BitsPerComponent 8 /Filter /DCTDecode ")
+            elif pkind == "ccitt":
+                from ..core.ccitt import g4_encode
+                objs[extra] = stream_obj(
+                    g4_encode(arr < 128),
+                    f"/Type /XObject /Subtype /Image /Width {w} "
+                    f"/Height {h} /ColorSpace /DeviceGray "
+                    f"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+                    f"/DecodeParms << /K -1 /Columns {w} "
+                    f"/Rows {h} >> ")
             else:
                 objs[extra] = stream_obj(
                     zlib.compress(arr.tobytes()),

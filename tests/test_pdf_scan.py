@@ -229,3 +229,61 @@ def test_color_scan_page_extracts_byte_identically_to_gray_twin():
         if tested >= 6:
             break
     assert tested >= 6
+
+
+def test_ccitt_g4_scan_page_extracts_byte_identically():
+    """/CCITTFaxDecode (Group 4, /K -1) pages must extract
+    byte-identically to their Flate twins — the fax embedding is
+    lossless on a bilevel render, incl. under a /Rotate flag."""
+    import random
+
+    import numpy as np
+
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.core.pdf_extract import extract_pdf
+    from ocr_gpu_services_spark.fixtures.gen import _pdf_plan, _render_pdf
+    from ocr_gpu_services_spark.fixtures.pdf_write import (CcittScanPage,
+                                                           build_pdf)
+    get_atlas()
+
+    def eligible(p):
+        return (p["kind"] == "scan" and not p.get("color")
+                and not p.get("xdct") and p["plan"]["bed"] is None
+                and p["plan"]["persp"] is None)
+
+    tested = 0
+    for i in range(400):
+        rng = random.Random(i * 977)
+        plan = _pdf_plan(rng, i)
+        if not any(eligible(p) for p in plan["pages"]):
+            continue
+        pc = {**plan, "pages": [
+            {**p, "ccitt": True} if eligible(p) else p
+            for p in plan["pages"]]}
+        p0 = {**plan, "pages": [
+            {**p, "ccitt": False} if p["kind"] == "scan" else p
+            for p in plan["pages"]]}
+        bc = _render_pdf(pc, allow_dct=True)
+        b0 = _render_pdf(p0, allow_dct=True)
+        assert b"/CCITTFaxDecode" in bc and b"/CCITTFaxDecode" not in b0
+        rc = extract_document(bc, None)
+        r0 = extract_document(b0, None)
+        assert rc[5] is None and r0[5] is None, i
+        assert rc[1] == r0[1], i
+        assert [s.as_dict() for s in rc[2]] == [s.as_dict()
+                                               for s in r0[2]], i
+        tested += 1
+        if tested >= 6:
+            break
+    assert tested >= 6
+
+    # /K 0 (G3 1-D, unsupported) must be skipped, not crash: page
+    # degrades to empty text like any undecodable image
+    from ocr_gpu_services_spark.core import glyph_ocr
+    img = np.full((60, 120), 255, np.uint8)
+    img[20:30, 10:50] = 0
+    pdf = build_pdf([CcittScanPage(img)])
+    pdf_k0 = pdf.replace(b"/K -1", b"/K 0")
+    t, spans = extract_pdf(pdf_k0)
+    assert t == "" and spans == []
