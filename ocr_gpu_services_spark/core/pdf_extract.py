@@ -536,6 +536,26 @@ def _page_scan_images(body: bytes, objs: dict[int, bytes]):
                 out.append(img)
             continue
         nch = 3 if is_rgb else 1
+        pm = re.search(rb"/Predictor\s+(\d+)", xbody)
+        if pm is not None:
+            # PNG predictors (10-15) on Flate image data — common real
+            # scan-to-PDF output.  The filtered stream is exactly PNG's
+            # per-row layout (filter byte + row, left neighbor = Colors
+            # bytes back), so the PNG unfilter is the decoder.
+            pred = int(pm.group(1))
+            if pred < 10:
+                continue                     # TIFF predictor: not emitted
+            from .png import _unfilter
+            if len(raw) < h * (w * nch + 1):
+                continue
+            try:
+                flat = _unfilter(raw[:h * (w * nch + 1)], h, w, nch)
+            except (ValueError, IndexError):
+                continue
+            arr = flat.reshape(h, w, nch)
+            out.append(rgb_to_gray(arr) if is_rgb
+                       else arr.reshape(h, w).copy())
+            continue
         if len(raw) < w * h * nch:
             continue
         if is_rgb:

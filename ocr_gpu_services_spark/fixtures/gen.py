@@ -138,11 +138,15 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
             # Side stream: the salt "pdfg4" lands 3 tiny pages.
             grng = random.Random(f"pdfg4:{i}:{p}")
             ccitt = grng.random() < 0.45
+            # ~35% of Flate-route pages ship PNG-predicted
+            # (/Predictor 15, Up-filtered rows) — side stream again
+            prng2 = random.Random(f"pdfpred:{i}:{p}")
+            pred = prng2.random() < 0.35
             pages.append({"kind": "scan",
                           "plan": imagegen.image_plan(rng, i * 7 + p),
                           "xdct": rng.random() < 0.30,
                           "rotate": rot, "color": color,
-                          "ccitt": ccitt,
+                          "ccitt": ccitt, "predictor": pred,
                           "color_key": f"pdfcolor:{i}:{p}"})
         else:
             n_lines = rng.randint(4, 10)
@@ -182,8 +186,11 @@ def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
                 # standalone bilevel rows) -> fax-shape embedding
                 from .pdf_write import CcittScanPage
                 pages.append(CcittScanPage(img, rotate=rot))
-            elif rot or img.ndim == 3:
-                pages.append(ScanPage(img, rotate=rot))
+            elif rot or img.ndim == 3 \
+                    or (pg.get("predictor") and allow_dct):
+                pages.append(ScanPage(
+                    img, rotate=rot,
+                    predictor=bool(pg.get("predictor")) and allow_dct))
             else:
                 pages.append(img)
         else:

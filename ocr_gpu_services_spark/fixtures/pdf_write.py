@@ -84,11 +84,15 @@ class DctScanPage:
 
 class ScanPage:
     """A Flate raster scan page with an optional /Rotate attribute
-    (same storage convention as DctScanPage)."""
+    (same storage convention as DctScanPage).  ``predictor=True``
+    emits the raster PNG-predicted (/DecodeParms /Predictor 15, every
+    row Up-filtered) before Flate — the shape many real scan-to-PDF
+    writers produce."""
 
-    def __init__(self, img, rotate: int = 0):
+    def __init__(self, img, rotate: int = 0, predictor: bool = False):
         self.img = img
         self.rotate = rotate
+        self.predictor = predictor
 
 
 class CcittScanPage:
@@ -260,6 +264,22 @@ def build_pdf(pages: list, *, compress: bool = False,
                     f"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
                     f"/DecodeParms << /K -1 /Columns {w} "
                     f"/Rows {h} >> ")
+            elif getattr(page, "predictor", False):
+                import numpy as _np
+                nch = 3 if arr.ndim == 3 else 1
+                flat = arr.reshape(h, w * nch).astype(_np.int16)
+                diff = flat.copy()
+                diff[1:] -= flat[:-1]              # Up filter, every row
+                filtered = b"".join(
+                    b"\x02" + (diff[r] & 0xFF).astype(_np.uint8)
+                    .tobytes() for r in range(h))
+                objs[extra] = stream_obj(
+                    zlib.compress(filtered),
+                    f"/Type /XObject /Subtype /Image /Width {w} "
+                    f"/Height {h} /ColorSpace {cs} "
+                    f"/BitsPerComponent 8 /Filter /FlateDecode "
+                    f"/DecodeParms << /Predictor 15 /Colors {nch} "
+                    f"/BitsPerComponent 8 /Columns {w} >> ")
             else:
                 objs[extra] = stream_obj(
                     zlib.compress(arr.tobytes()),

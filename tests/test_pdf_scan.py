@@ -287,3 +287,44 @@ def test_ccitt_g4_scan_page_extracts_byte_identically():
     pdf_k0 = pdf.replace(b"/K -1", b"/K 0")
     t, spans = extract_pdf(pdf_k0)
     assert t == "" and spans == []
+
+
+def test_png_predicted_flate_xobject_extracts_identically():
+    """/FlateDecode + /DecodeParms /Predictor 15 (PNG Up-filtered rows)
+    image XObjects — gray AND /DeviceRGB — must extract byte-identically
+    to their unpredicted twins."""
+    import random
+
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.fixtures.gen import _pdf_plan, _render_pdf
+    get_atlas()
+    tested_gray = tested_rgb = 0
+    for i in range(400):
+        rng = random.Random(i * 977)
+        plan = _pdf_plan(rng, i)
+        scans = [p for p in plan["pages"] if p["kind"] == "scan"
+                 and not p.get("xdct") and not p.get("ccitt")]
+        if not scans:
+            continue
+        has_rgb = any(p.get("color") for p in scans)
+        pc = {**plan, "pages": [
+            {**p, "predictor": True} if p["kind"] == "scan" else p
+            for p in plan["pages"]]}
+        p0 = {**plan, "pages": [
+            {**p, "predictor": False} if p["kind"] == "scan" else p
+            for p in plan["pages"]]}
+        bc = _render_pdf(pc, allow_dct=True)
+        assert b"/Predictor 15" in bc
+        rc = extract_document(bc, None)
+        r0 = extract_document(_render_pdf(p0, allow_dct=True), None)
+        assert rc[5] is None and rc[1] == r0[1], i
+        assert [s.as_dict() for s in rc[2]] == [s.as_dict()
+                                               for s in r0[2]], i
+        if has_rgb:
+            tested_rgb += 1
+        else:
+            tested_gray += 1
+        if tested_gray >= 4 and tested_rgb >= 2:
+            break
+    assert tested_gray >= 4 and tested_rgb >= 2
