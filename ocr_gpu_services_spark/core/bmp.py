@@ -76,7 +76,7 @@ def bmp_decode(payload: bytes) -> np.ndarray:
         raise ValueError(f"BMP: unsupported compression {comp}")
     top_down = h < 0
     h = abs(h)
-    if w <= 0 or h == 0 or w > 1 << 20 or h > 1 << 20:
+    if w <= 0 or h == 0 or w * h > 1 << 28:   # crafted-header guard
         raise ValueError("BMP: bad dimensions")
     if bpp == 8:
         n_colors = n_colors or 256

@@ -405,7 +405,11 @@ def tiff_decode(payload: bytes) -> np.ndarray:
         return tags[t][0]
 
     w, h = one(_T_WIDTH), one(_T_LENGTH)
-    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+    # dimension cap: a crafted header must not drive a giant allocation
+    # (a tiny G4 stream can fill all-white rows at ~1 bit each, so the
+    # raw-length checks alone don't bound memory) — 256 MPix is far
+    # beyond any real scan; the row degrades via the error column
+    if w <= 0 or h <= 0 or w * h > 1 << 28:
         raise ValueError("TIFF: bad dimensions")
     spp = one(_T_SPP, 1)
     bits = tags.get(_T_BITS, [8])

@@ -328,3 +328,45 @@ def test_container_fixture_rows_extract_identically():
             [s.as_dict() for s in twin[2]], (i, fmt)     # spans identical
         assert got[5] is None
     assert n_cont >= 5          # rast1 plants 7 container rows in tiny
+
+
+def test_adversarial_payloads_degrade_never_crash():
+    """Mutated real BMP/TIFF payloads and magic-prefixed garbage must
+    land in the error column (ValueError et al. caught by
+    extract_document), never crash, hang, or drive a giant allocation
+    — crawl payloads are adversarial at scale.  The dimension caps in
+    bmp_decode/tiff_decode are what bound memory here (a crafted
+    header + tiny G4 stream could otherwise fill all-white rows at
+    ~1 bit each)."""
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    get_atlas()
+    rs = np.random.RandomState(17)
+    g = ((rs.rand(60, 90) < 0.3) * 255).astype(np.uint8)
+    seeds = [
+        tiff.tiff_encode(g, "lzw", predictor=True),
+        tiff.tiff_encode(g, "g4", bilevel=True),
+        bmp.bmp_encode_gray8(g),
+    ]
+    for seed in seeds:
+        for _ in range(60):
+            m = bytearray(seed)
+            for _k in range(rs.randint(1, 12)):
+                m[rs.randint(len(m))] = rs.randint(256)
+            extract_document(bytes(m), None)        # must return
+    for magic in (b"II*\x00", b"MM\x00*", b"BM"):
+        for _ in range(60):
+            body = bytes(rs.randint(0, 256,
+                                    rs.randint(20, 2000)).astype(np.uint8))
+            extract_document(magic + body, None)
+    # the explicit giant-header case: must raise, not allocate
+    t = bytearray(tiff.tiff_encode(g, "g4", bilevel=True))
+    import struct
+    ntags = struct.unpack_from("<H", t, 8)[0]
+    for k in range(ntags):
+        off = 10 + 12 * k
+        tag = struct.unpack_from("<H", t, off)[0]
+        if tag in (256, 257):
+            struct.pack_into("<H", t, off + 8, 65500)
+    with pytest.raises(ValueError):
+        tiff.tiff_decode(bytes(t))
