@@ -40,8 +40,8 @@ def get_atlas():
 
 
 def decode_image(payload: bytes):
-    """Format dispatch at the decode seam (PNG / JPEG / TIFF / BMP,
-    gray or color — the reference accepts any cv2-decodable upload and
+    """Format dispatch at the decode seam (PNG / JPEG / TIFF / BMP /
+    GIF, gray or color — the reference accepts any cv2-decodable upload and
     grays it immediately, optional_services.py:61); color payloads
     convert to luma here (core/color.py, cv2-exact weights) so
     everything past the pixel array is the unchanged grayscale kernel.
@@ -56,6 +56,9 @@ def decode_image(payload: bytes):
     elif payload[:2] == b"BM":
         from .bmp import bmp_decode
         img = bmp_decode(payload)
+    elif payload[:4] == b"GIF8":
+        from .gif import gif_decode
+        img = gif_decode(payload)
     else:
         img = png_decode(payload)
     if img.ndim == 3:

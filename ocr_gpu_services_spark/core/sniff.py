@@ -17,6 +17,8 @@ MAGIC_JPG = b"\xff\xd8\xff"
 MAGIC_TIFF_LE = b"II*\x00"
 MAGIC_TIFF_BE = b"MM\x00*"
 MAGIC_BMP = b"BM"
+MAGIC_GIF87 = b"GIF87a"
+MAGIC_GIF89 = b"GIF89a"
 
 CT_HTML = "html"
 CT_PDF = "pdf"
@@ -36,6 +38,8 @@ def sniff_content_type(payload: bytes | None, text: str | None) -> str:
     if payload[:8] == MAGIC_PNG or payload[:3] == MAGIC_JPG:
         return CT_IMAGE
     if payload[:4] == MAGIC_TIFF_LE or payload[:4] == MAGIC_TIFF_BE:
+        return CT_IMAGE
+    if payload[:6] == MAGIC_GIF87 or payload[:6] == MAGIC_GIF89:
         return CT_IMAGE
     # "BM" alone is two ASCII letters any text can start with; require
     # the BITMAPINFOHEADER size field (offset 14, little-endian) too
@@ -82,6 +86,39 @@ def _probe_tiff(payload: bytes) -> str | None:
     return base + _TIFF_COMP[comp]
 
 
+def _probe_gif(payload: bytes) -> str | None:
+    """gif-{gray|rgb}[-i] from the header, active color table and the
+    first image descriptor's interlace bit."""
+    import struct
+    try:
+        packed = payload[10]
+        pos = 13
+        pal = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            pal = payload[pos:pos + 3 * n]
+            pos += 3 * n
+        while pos < len(payload) and payload[pos] == 0x21:
+            pos += 2                       # extension intro + label
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        if pos + 10 > len(payload) or payload[pos] != 0x2C:
+            return None
+        ipack = struct.unpack_from("<HHHHB", payload, pos + 1)[4]
+        if ipack & 0x80:
+            n = 2 << (ipack & 0x07)
+            pal = payload[pos + 10:pos + 10 + 3 * n]
+        if pal is None or len(pal) % 3:
+            return None
+    except (IndexError, struct.error):
+        return None
+    gray = all(pal[k] == pal[k + 1] == pal[k + 2]
+               for k in range(0, len(pal), 3))
+    return ("gif-gray" if gray else "gif-rgb") \
+        + ("-i" if ipack & 0x40 else "")
+
+
 def probe_image_format(payload: bytes) -> str | None:
     """Sub-format of an image payload from its header bytes alone (the
     S3 breadth gate): PNG color type from IHDR, JPEG component count +
@@ -89,6 +126,8 @@ def probe_image_format(payload: bytes) -> str | None:
     compression from the first IFD.  None if unprobeable."""
     if payload[:4] in (MAGIC_TIFF_LE, MAGIC_TIFF_BE):
         return _probe_tiff(payload)
+    if payload[:6] in (MAGIC_GIF87, MAGIC_GIF89):
+        return _probe_gif(payload)
     if payload[:2] == MAGIC_BMP and len(payload) >= 30:
         bpp = int.from_bytes(payload[28:30], "little")
         if bpp == 24:

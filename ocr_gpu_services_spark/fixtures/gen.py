@@ -256,6 +256,17 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
                                  "tiff-lzw", "tiff-lzw-pred"))
         if container != "bmp":
             big_endian = trng.random() < 0.30
+    # ~18% of correctness-scale non-JPEG rows ship as GIF (gray-ramp or
+    # exact-≤256-color palette, ~30% interlaced) — the still-image core
+    # of crawl reality (core/gif.py).  Lossless by construction (every
+    # colorized page is a 256-entry LUT image), so pixels, extraction
+    # and goldens are byte-identical to the PNG twin.  Side rng stream
+    # "gif1" OVERRIDES the rast1 container draw; bilevel-provable gray
+    # rows still win (same precedence as the other containers).
+    grng = random.Random(f"gif1:{i}") if allow_jpeg else None
+    if grng is not None and not as_jpeg and grng.random() < 0.18:
+        container = "gif-i" if grng.random() < 0.30 else "gif"
+        big_endian = None
     # BILEVEL rows: every correctness-scale page whose render is
     # provably two-valued (no scanner bed, no perspective capture — the
     # compositor only ever writes ink 0 / paper 255 then) and that is
@@ -347,6 +358,9 @@ def _encode_bilevel(img, kind: str) -> bytes:
 def _encode_container(img, kind: str, big_endian: bool | None) -> bytes:
     """BMP / TIFF fixture container for a gray (HxW) or RGB (HxWx3)
     render — all lossless, so extraction is byte-identical to PNG."""
+    if kind in ("gif", "gif-i"):
+        from ..core.gif import gif_encode
+        return gif_encode(img, interlace=kind == "gif-i")
     if kind == "bmp":
         from ..core.bmp import bmp_encode_gray8, bmp_encode_rgb24
         return (bmp_encode_rgb24(img) if img.ndim == 3
@@ -427,10 +441,17 @@ def image_row_format(rng: random.Random, i: int,
                                  "tiff-lzw", "tiff-lzw-pred"))
         if container != "bmp":
             trng.random()                 # the byte-order draw
+    # the "gif1" override (mirrors _image_page exactly)
+    grng = random.Random(f"gif1:{i}") if at_corr_scale else None
+    gif = None
+    if grng is not None and grng.random() < 0.18:
+        gif = "-i" if grng.random() < 0.30 else ""
     _comp_label = {"tiff": "", "tiff-packbits": "-packbits",
                    "tiff-lzw": "-lzw", "tiff-lzw-pred": "-lzw"}
     if colorize:
         v = crng.random()
+        if gif is not None:
+            return "gif-rgb" + gif
         if container == "bmp":
             return "bmp-rgb24"
         if container is not None:
@@ -447,6 +468,8 @@ def image_row_format(rng: random.Random, i: int,
                 "tiff-bilevel-g4")[
             random.Random(f"fax15:{i}").randrange(4)]
     graya = crng is not None and crng.random() < 0.25
+    if gif is not None:
+        return "gif-gray" + gif
     if container == "bmp":
         return "bmp-gray8"
     if container is not None:

@@ -21,6 +21,8 @@ _HEX_TIFF_LE = "49492A00"        # II*\0
 _HEX_TIFF_BE = "4D4D002A"        # MM\0*
 _HEX_BMP = "424D"                # BM
 _HEX_DIB40 = "28000000"          # BITMAPINFOHEADER size at offset 14
+_HEX_GIF87 = "474946383761"      # GIF87a
+_HEX_GIF89 = "474946383961"      # GIF89a
 
 
 def content_type_col(html: str = "html", text: str = "text") -> Column:
@@ -35,6 +37,8 @@ def content_type_col(html: str = "html", text: str = "text") -> Column:
          .when(F.hex(F.substring(h, 1, 4)) == _HEX_TIFF_LE,
                F.lit(CT_IMAGE))
          .when(F.hex(F.substring(h, 1, 4)) == _HEX_TIFF_BE,
+               F.lit(CT_IMAGE))
+         .when(F.hex(F.substring(h, 1, 6)).isin(_HEX_GIF87, _HEX_GIF89),
                F.lit(CT_IMAGE))
          # "BM" alone is plain ASCII; require the DIB header size too
          # (core/sniff.py keeps the identical rule)

@@ -308,7 +308,7 @@ def test_container_fixture_rows_extract_identically():
         rng_i = random.Random((7 << 20) ^ i)
         rng_i.random()
         fmt = gen.image_row_format(rng_i, i)
-        if not fmt.startswith(("bmp", "tiff", "png-bilevel")):
+        if not fmt.startswith(("bmp", "tiff", "png-bilevel", "gif")):
             continue
         n_cont += 1
         rng_i = random.Random((7 << 20) ^ i)
@@ -327,7 +327,9 @@ def test_container_fixture_rows_extract_identically():
         assert [s.as_dict() for s in got[2]] == \
             [s.as_dict() for s in twin[2]], (i, fmt)     # spans identical
         assert got[5] is None
-    assert n_cont >= 5          # rast1 plants 7 container rows in tiny
+    # rast1 + fax15 + gif1 plant 11 container rows in tiny (4 bmp/tiff,
+    # 4 bilevel, 3 gif — the gif1 override displaced some rast1 rows)
+    assert n_cont >= 9
 
 
 def test_adversarial_payloads_degrade_never_crash():
@@ -343,10 +345,12 @@ def test_adversarial_payloads_degrade_never_crash():
     get_atlas()
     rs = np.random.RandomState(17)
     g = ((rs.rand(60, 90) < 0.3) * 255).astype(np.uint8)
+    from ocr_gpu_services_spark.core.gif import gif_encode
     seeds = [
         tiff.tiff_encode(g, "lzw", predictor=True),
         tiff.tiff_encode(g, "g4", bilevel=True),
         bmp.bmp_encode_gray8(g),
+        gif_encode(g, interlace=True),
     ]
     for seed in seeds:
         for _ in range(60):
@@ -354,7 +358,7 @@ def test_adversarial_payloads_degrade_never_crash():
             for _k in range(rs.randint(1, 12)):
                 m[rs.randint(len(m))] = rs.randint(256)
             extract_document(bytes(m), None)        # must return
-    for magic in (b"II*\x00", b"MM\x00*", b"BM"):
+    for magic in (b"II*\x00", b"MM\x00*", b"BM", b"GIF89a", b"GIF87a"):
         for _ in range(60):
             body = bytes(rs.randint(0, 256,
                                     rs.randint(20, 2000)).astype(np.uint8))
@@ -370,3 +374,116 @@ def test_adversarial_payloads_degrade_never_crash():
             struct.pack_into("<H", t, off + 8, 65500)
     with pytest.raises(ValueError):
         tiff.tiff_decode(bytes(t))
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+def test_gif_gray_roundtrip_and_seam():
+    from ocr_gpu_services_spark.core import gif
+    g = _rs.randint(0, 256, (41, 67)).astype(np.uint8)
+    for il in (False, True):
+        payload = gif.gif_encode(g, interlace=il)
+        assert sniff_content_type(payload, None) == "image"
+        assert probe_image_format(payload) == ("gif-gray-i" if il
+                                               else "gif-gray")
+        out = gif.gif_decode(payload)
+        assert out.ndim == 2 and np.array_equal(out, g)
+        assert np.array_equal(decode_image(payload), g)   # seam dispatch
+
+
+def test_gif_color_roundtrip_palette_and_gray_back():
+    import random
+
+    from ocr_gpu_services_spark.core import gif
+    from ocr_gpu_services_spark.core.color import rgb_to_gray
+    from ocr_gpu_services_spark.fixtures.colorize import colorize_exact
+    g = _rs.randint(0, 256, (53, 61)).astype(np.uint8)
+    rgb = colorize_exact(g, random.Random(5))
+    for il in (False, True):
+        payload = gif.gif_encode(rgb, interlace=il)
+        assert probe_image_format(payload) == ("gif-rgb-i" if il
+                                               else "gif-rgb")
+        out = gif.gif_decode(payload)
+        assert out.ndim == 3 and np.array_equal(out, rgb)
+        # the decode seam grays with the exact-luma weights -> identity
+        assert np.array_equal(decode_image(payload), g)
+
+
+def test_gif_neutral_color_page_probes_rgb_decodes_gray():
+    """A colorized page whose tint clipped to all-neutral still probes
+    gif-rgb (sentinel padding entry: the label is a pure function of
+    the encode path) while the decoder returns the exact 2-D gray."""
+    from ocr_gpu_services_spark.core import gif
+    g = ((_rs.rand(30, 40) < 0.5) * 255).astype(np.uint8)
+    payload = gif.gif_encode(np.dstack([g, g, g]))
+    assert probe_image_format(payload) == "gif-rgb"
+    out = gif.gif_decode(payload)
+    assert out.ndim == 2 and np.array_equal(out, g)
+
+
+def test_gif_lzw_width_growth_and_table_reset():
+    from ocr_gpu_services_spark.core.gif import _lzw_decode, _lzw_encode
+    # noise forces code-width growth 9->12 and a full-table reset
+    data = bytes(_rs.randint(0, 256, 150000,
+                             dtype=np.int64).astype(np.uint8))
+    assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+    # tiny alphabet exercises the mcs floor and repeated growth cycles
+    data = bytes(_rs.randint(0, 4, 120000,
+                             dtype=np.int64).astype(np.uint8))
+    assert _lzw_decode(_lzw_encode(data, 2), 2, len(data)) == data
+
+
+def test_gif_extension_blocks_skipped():
+    from ocr_gpu_services_spark.core import gif
+    g = _rs.randint(0, 256, (9, 13)).astype(np.uint8)
+    payload = bytearray(gif.gif_encode(g))
+    # splice a Graphic Control Extension before the image descriptor
+    desc = payload.index(0x2C, 13 + 768)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = bytes(payload[:desc]) + gce + bytes(payload[desc:])
+    assert np.array_equal(gif.gif_decode(spliced), g)
+    assert probe_image_format(spliced) == "gif-gray"
+
+
+def test_gif_malformed_rejects():
+    from ocr_gpu_services_spark.core import gif
+    g = _rs.randint(0, 256, (8, 8)).astype(np.uint8)
+    good = gif.gif_encode(g)
+    with pytest.raises(ValueError):
+        gif.gif_decode(good[:20])                 # truncated
+    with pytest.raises(ValueError):
+        gif.gif_decode(b"GIF89a" + good[6:13] + b"\x3b")  # no frame
+    # crafted giant dimensions must raise before allocating
+    big = bytearray(good)
+    struct.pack_into("<HH", big, 6, 65535, 65535)
+    desc = bytes(big).index(0x2C, 13 + 768)
+    struct.pack_into("<HH", big, desc + 5, 65535, 65535)
+    with pytest.raises(ValueError):
+        gif.gif_decode(bytes(big))
+
+
+def test_gif_fixture_rows_extract_identically():
+    """Every tiny gif1 row must extract byte-identically to its PNG
+    twin (covered inside the container-twin sweep too; this pins the
+    gif-specific count so a salt regression is loud)."""
+    import random
+
+    from ocr_gpu_services_spark.fixtures import gen
+    n = gen.SCALES["tiny"]
+    pdf_block = range(int(n * 0.55), int(n * 0.55) + max(2, n // 25))
+    fmts = []
+    for i in range(n):
+        rng_i = random.Random((7 << 20) ^ i)
+        if gen._row_kind(i, rng_i.random(), pdf_block) != "image":
+            continue
+        rng_i = random.Random((7 << 20) ^ i)
+        rng_i.random()
+        fmt = gen.image_row_format(rng_i, i)
+        if fmt.startswith("gif"):
+            fmts.append(fmt)
+    assert len(fmts) >= 3
+    assert any(f.startswith("gif-gray") for f in fmts)
+    assert any(f.startswith("gif-rgb") for f in fmts)
+    assert any(f.endswith("-i") for f in fmts)
