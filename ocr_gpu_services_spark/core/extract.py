@@ -48,8 +48,15 @@ def decode_image(payload: bytes):
     Shared by the extraction kernel and the multimodal table
     operators."""
     if payload[:3] == b"\xff\xd8\xff":
-        from .jpeg import jpeg_decode
+        from .jpeg import (apply_exif_orientation, exif_orientation,
+                           jpeg_decode)
         img = jpeg_decode(payload)
+        # honor the EXIF orientation flag (phones/cameras store the
+        # sensor frame) — exact pixel permutation, cv2.imread parity;
+        # the orientation vote could never recover the mirrored values
+        o = exif_orientation(payload)
+        if o != 1:
+            img = apply_exif_orientation(img, o)
     elif payload[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import tiff_decode
         img = tiff_decode(payload)

@@ -231,12 +231,104 @@ def _dri_segment(restart_interval: int) -> bytes:
         if restart_interval else b""
 
 
+# ---------------------------------------------------------------------------
+# EXIF orientation (tag 0x0112) — cameras/phones store the sensor frame
+# and flag the display transform; honoring it is an exact pixel
+# permutation (the same argument as the PDF /Rotate attribute,
+# core/pdf_extract.py), where the orientation vote would only recover
+# pure quarter turns and never the mirrored variants
+# ---------------------------------------------------------------------------
+
+def _exif_app1(orientation: int) -> bytes:
+    """Minimal APP1 Exif segment carrying just the orientation tag."""
+    import struct
+    tiff = (b"II*\x00" + struct.pack("<I", 8)            # IFD0 at 8
+            + struct.pack("<H", 1)                       # one tag
+            + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+            + struct.pack("<I", 0))                      # no next IFD
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def exif_orientation(data: bytes) -> int:
+    """EXIF orientation (1..8) from the APP1 segment; 1 when absent or
+    malformed (never raises — a bad EXIF block must not degrade an
+    otherwise decodable image)."""
+    import struct
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return 1
+        marker = data[i + 1]
+        if marker in (0xDA, 0xD9):
+            return 1
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        if marker == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
+            t = data[i + 10:i + 2 + seg_len]
+            try:
+                if t[:4] == b"II*\x00":
+                    e = "<"
+                elif t[:4] == b"MM\x00*":
+                    e = ">"
+                else:
+                    return 1
+                ifd = struct.unpack_from(e + "I", t, 4)[0]
+                ntags = struct.unpack_from(e + "H", t, ifd)[0]
+                for k in range(ntags):
+                    tag, ty, cnt = struct.unpack_from(
+                        e + "HHI", t, ifd + 2 + 12 * k)
+                    if tag == 0x0112 and ty == 3 and cnt == 1:
+                        v = struct.unpack_from(
+                            e + "H", t, ifd + 2 + 12 * k + 8)[0]
+                        return v if 1 <= v <= 8 else 1
+            except (struct.error, IndexError):
+                return 1
+            return 1
+        i += 2 + seg_len
+    return 1
+
+
+def apply_exif_orientation(img: np.ndarray, o: int) -> np.ndarray:
+    """Stored-frame pixels -> upright display pixels (PIL
+    ``exif_transpose`` semantics; exact permutations, gray or color)."""
+    if o == 2:
+        out = img[:, ::-1]
+    elif o == 3:
+        out = img[::-1, ::-1]
+    elif o == 4:
+        out = img[::-1]
+    elif o == 5:
+        out = np.swapaxes(img, 0, 1)
+    elif o == 6:
+        out = np.rot90(img, -1)
+    elif o == 7:
+        out = np.swapaxes(img, 0, 1)[::-1, ::-1]
+    elif o == 8:
+        out = np.rot90(img, 1)
+    else:
+        return img
+    return np.ascontiguousarray(out)
+
+
+def unapply_exif_orientation(img: np.ndarray, o: int) -> np.ndarray:
+    """Upright pixels -> stored frame (the fixture writer's inverse;
+    2/3/4/5/7 are involutions, 6/8 swap)."""
+    if o == 6:
+        return np.ascontiguousarray(np.rot90(img, 1))
+    if o == 8:
+        return np.ascontiguousarray(np.rot90(img, -1))
+    return apply_exif_orientation(img, o)
+
+
 def jpeg_encode(img: np.ndarray, quant: int = 1,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                exif_orientation: int = 0) -> bytes:
     """Grayscale baseline JPEG; ``quant`` fills the whole quantization
     table (1 = the exactness contract above).  ``restart_interval`` > 0
     emits a DRI segment plus RSTn markers every that-many MCUs — the
-    shape camera/scanner firmware emits for error resilience."""
+    shape camera/scanner firmware emits for error resilience.
+    ``exif_orientation`` 2..8 writes an APP1 Exif segment (the caller
+    passes pixels already in the STORED frame)."""
     h, w = img.shape
     q = np.full(64, quant, dtype=np.int32)
     padded = _pad_plane(img, 8)
@@ -253,6 +345,8 @@ def jpeg_encode(img: np.ndarray, quant: int = 1,
     scan_bytes = rs.finish()
 
     out = bytearray(b"\xff\xd8")                      # SOI
+    if exif_orientation:
+        out += _exif_app1(exif_orientation)
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     dqt = bytes([0x00]) + bytes(int(x) & 0xFF for x in q[_np_argsort_id()])
     out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
@@ -285,7 +379,8 @@ def _rgb_to_ycc(rgb: np.ndarray) -> np.ndarray:
 
 def jpeg_encode_color(rgb: np.ndarray, quant: int = 1,
                       subsampling: str = "444",
-                      restart_interval: int = 0) -> bytes:
+                      restart_interval: int = 0,
+                      exif_orientation: int = 0) -> bytes:
     """Baseline YCbCr JPEG from an (H, W, 3) uint8 RGB array.
 
     ``subsampling`` is "444" (no chroma subsampling; MCU = 8x8),
@@ -348,6 +443,8 @@ def jpeg_encode_color(rgb: np.ndarray, quant: int = 1,
     scan_bytes = rs.finish()
 
     out = bytearray(b"\xff\xd8")
+    if exif_orientation:
+        out += _exif_app1(exif_orientation)
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq in (0, 1):                        # luma + chroma quant tables
         dqt = bytes([tq]) + bytes(int(x) & 0xFF for x in q[_np_argsort_id()])

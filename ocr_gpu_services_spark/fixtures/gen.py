@@ -299,6 +299,16 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
         # path in the gate corpus.
         drng = random.Random(f"dri:{i}")
         dri = drng.choice((4, 8, 16)) if drng.random() < 0.30 else 0
+        # ~25% of SEQUENTIAL JPEG rows carry an EXIF orientation flag
+        # (2..8, mirrors included — the phone/camera sensor-frame
+        # shape): pixels ship in the STORED frame and the decode seam's
+        # exact permutation restores the upright page.  Side rng stream
+        # "exif5"; the permutation is exact and the quality-100 band
+        # contract absorbs the transformed-frame DCT rounding, so
+        # extraction and goldens are unchanged.
+        from ..core.jpeg import unapply_exif_orientation
+        erng = random.Random(f"exif5:{i}")
+        exif = erng.randrange(2, 9) if erng.random() < 0.25 else 0
         if colorize:
             from .colorize import colorize_exact
             rgb = colorize_exact(img, crng)
@@ -306,12 +316,18 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
                 from ..core.jpeg_progressive import jpeg_encode_progressive
                 return jpeg_encode_progressive(rgb)
             sub = "420" if crng.random() < 0.5 else "444"
+            if exif:
+                rgb = unapply_exif_orientation(rgb, exif)
             return jpeg_encode_color(rgb, subsampling=sub,
-                                     restart_interval=dri)
+                                     restart_interval=dri,
+                                     exif_orientation=exif)
         if progressive:
             from ..core.jpeg_progressive import jpeg_encode_progressive
             return jpeg_encode_progressive(img)
-        return jpeg_encode(img, restart_interval=dri)
+        if exif:
+            img = unapply_exif_orientation(img, exif)
+        return jpeg_encode(img, restart_interval=dri,
+                           exif_orientation=exif)
     # ~20% of correctness-scale PNG rows are Adam7 INTERLACED (the
     # progressive-render layout old web tooling emits) — side rng
     # stream; the decoded pixels are identical so goldens never move
@@ -386,9 +402,17 @@ def image_row_pixels(rng: random.Random, i: int,
     crng = random.Random(f"color:{i}") if at_corr_scale else None
     colorize = crng is not None and crng.random() < 0.40
     if as_jpeg:
-        from ..core.jpeg import jpeg_decode, jpeg_encode, jpeg_encode_color
+        from ..core.jpeg import (apply_exif_orientation, jpeg_decode,
+                                 jpeg_encode, jpeg_encode_color,
+                                 unapply_exif_orientation)
         prng = random.Random(f"prog1:{i}")
         progressive = prng.random() < 0.35
+        # the "exif5" side stream (mirrors _image_page): sequential rows
+        # may ship in the stored sensor frame; post-codec pixels are
+        # decode -> upright permutation (-> gray for color), exactly the
+        # decode_image seam order
+        erng = random.Random(f"exif5:{i}")
+        exif = erng.randrange(2, 9) if erng.random() < 0.25 else 0
         if colorize:
             from ..core.color import rgb_to_gray
             from .colorize import colorize_exact
@@ -397,11 +421,19 @@ def image_row_pixels(rng: random.Random, i: int,
                 from ..core.jpeg_progressive import jpeg_encode_progressive
                 return rgb_to_gray(jpeg_decode(jpeg_encode_progressive(rgb)))
             sub = "420" if crng.random() < 0.5 else "444"
-            return rgb_to_gray(jpeg_decode(
-                jpeg_encode_color(rgb, subsampling=sub)))
+            if exif:
+                rgb = unapply_exif_orientation(rgb, exif)
+            out = jpeg_decode(jpeg_encode_color(rgb, subsampling=sub))
+            if exif:
+                out = apply_exif_orientation(out, exif)
+            return rgb_to_gray(out)
         if progressive:
             from ..core.jpeg_progressive import jpeg_encode_progressive
             return jpeg_decode(jpeg_encode_progressive(img))
+        if exif:
+            out = jpeg_decode(jpeg_encode(
+                unapply_exif_orientation(img, exif)))
+            return apply_exif_orientation(out, exif)
         return jpeg_decode(jpeg_encode(img))
     # color PNG variants are lossless AND luma-exact by construction, so
     # the post-codec pixels equal the gray render exactly

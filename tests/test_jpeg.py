@@ -99,3 +99,86 @@ def test_restart_marker_missing_raises():
     import pytest
     with pytest.raises(ValueError):
         jpeg_decode(bytes(enc))
+
+
+def test_exif_orientation_parse_and_transform_inverses():
+    from ocr_gpu_services_spark.core.jpeg import (apply_exif_orientation,
+                                                  exif_orientation,
+                                                  unapply_exif_orientation)
+    rs = np.random.RandomState(3)
+    g = rs.randint(0, 256, (30, 44)).astype(np.uint8)
+    rgb = rs.randint(0, 256, (22, 18, 3)).astype(np.uint8)
+    for o in range(1, 9):
+        assert np.array_equal(
+            apply_exif_orientation(unapply_exif_orientation(g, o), o), g)
+        assert np.array_equal(
+            apply_exif_orientation(unapply_exif_orientation(rgb, o), o),
+            rgb)
+        p = jpeg_encode(g, exif_orientation=o if o > 1 else 0)
+        assert exif_orientation(p) == (o if o > 1 else 1)
+    # orientation 6 (90 CW to display): stored frame has swapped dims
+    m = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    stored = unapply_exif_orientation(m, 6)
+    assert stored.shape == (3, 2)
+    assert np.array_equal(apply_exif_orientation(stored, 6), m)
+    # a garbage APP1 never raises
+    bad = bytearray(jpeg_encode(g, exif_orientation=3))
+    bad[6:10] = b"\xff\xff\xff\xff"
+    assert exif_orientation(bytes(bad)) == 1
+
+
+def test_exif_row_extracts_byte_identically_to_upright_twin():
+    """Every orientation 2..8 — incl. the mirrors the orientation vote
+    could never recover — must extract byte-identically to the upright
+    PNG twin through the decode seam's exact permutation."""
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    from ocr_gpu_services_spark.core.jpeg import unapply_exif_orientation
+    from ocr_gpu_services_spark.core.png import png_encode
+    from ocr_gpu_services_spark.fixtures import imagegen
+    get_atlas()
+    rng = random.Random(31)
+    plan = imagegen.image_plan(rng, 321)
+    img = imagegen.render_image_page(plan)
+    r_png = extract_document(png_encode(img), None)
+    assert r_png[1]
+    for o in range(2, 9):
+        payload = jpeg_encode(unapply_exif_orientation(img, o),
+                              exif_orientation=o)
+        got = extract_document(payload, None)
+        assert got[1] == r_png[1], o
+        assert [s.as_dict() for s in got[2]] == \
+            [s.as_dict() for s in r_png[2]], o
+        assert got[5] is None
+
+
+def test_exif_fixture_rows_match_pixel_truth():
+    """The exif5 side stream's payloads decode (through the seam) to
+    exactly image_row_pixels' ground truth — proves generator/mirror
+    stream alignment including the stored-frame DCT rounding."""
+    import random as _random
+
+    from ocr_gpu_services_spark.core.extract import decode_image
+    from ocr_gpu_services_spark.fixtures import gen
+    n = gen.SCALES["tiny"]
+    pdf_block = range(int(n * 0.55), int(n * 0.55) + max(2, n // 25))
+    n_exif = 0
+    for i in range(n):
+        rng_i = _random.Random((7 << 20) ^ i)
+        if gen._row_kind(i, rng_i.random(), pdf_block) != "image":
+            continue
+        erng = _random.Random(f"exif5:{i}")
+        exif = erng.randrange(2, 9) if erng.random() < 0.25 else 0
+        rng_i = _random.Random((7 << 20) ^ i)
+        rng_i.random()
+        payload = gen._image_page(rng_i, i, allow_jpeg=True)
+        rng_i = _random.Random((7 << 20) ^ i)
+        rng_i.random()
+        truth = gen.image_row_pixels(rng_i, i)
+        assert np.array_equal(decode_image(bytes(payload)), truth), i
+        from ocr_gpu_services_spark.core.jpeg import exif_orientation
+        if payload[:3] == b"\xff\xd8\xff" and \
+                exif_orientation(bytes(payload)) > 1:
+            n_exif += 1
+            assert exif_orientation(bytes(payload)) == exif
+    assert n_exif >= 2          # exif5 plants orientations 4 and 6 in tiny
