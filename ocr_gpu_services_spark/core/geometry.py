@@ -159,11 +159,17 @@ def _profile_scores(ys, xs, shape, degs: list[float]) -> list[float]:
     x1 = xs[None, :] - A[:, ys]                      # undo third shear
     x1c = np.clip(x1, 0, w - 1)
     y1 = ys[None, :] - np.take_along_axis(B, x1c, axis=1)   # undo second
-    scores = []
-    for c in range(C):
-        prof = np.bincount(y1[c] - y1[c].min()).astype(np.float64)
-        scores.append(float((prof * prof).sum()))
-    return scores
+    # one bincount for ALL candidates: shift each candidate's row ids to
+    # its own non-overlapping key range, square-sum per range.  Identical
+    # integer counts per (candidate, row) as the former per-candidate
+    # bincount, so the float64 squares and their sums match exactly
+    # (each count appears once, summed in the same ascending-row order).
+    mins = y1.min(axis=1, keepdims=True)
+    span = int((y1 - mins).max()) + 1
+    keys = (y1 - mins) + (np.arange(C, dtype=np.int64) * span)[:, None]
+    prof = np.bincount(keys.ravel(),
+                       minlength=C * span).astype(np.float64)
+    return (prof * prof).reshape(C, span).sum(axis=1).tolist()
 
 
 def estimate_skew(img: np.ndarray, grid=SKEW_GRID) -> float:

@@ -82,6 +82,20 @@ def render_text_image(lines: list[str]) -> np.ndarray:
     return img
 
 
+_AF_CACHE: tuple[int, np.ndarray, np.ndarray] | None = None
+
+
+def _atlas_f32(atlas: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(float32 atlas, per-glyph bit counts), cached per atlas object —
+    both matchers need this pair on every call and the conversion was a
+    measurable share of small-page OCR cost."""
+    global _AF_CACHE
+    if _AF_CACHE is None or _AF_CACHE[0] != id(atlas):
+        af = atlas.astype(np.float32)
+        _AF_CACHE = (id(atlas), af, af.sum(axis=1))
+    return _AF_CACHE[1], _AF_CACHE[2]
+
+
 def orientation_score(img: np.ndarray, atlas: np.ndarray) -> float:
     """Glyph-agreement score of the page's FIRST glyph-height ink band —
     the orientation classifier (the engine's stand-in for PaddleOCR's
@@ -114,15 +128,15 @@ def orientation_score(img: np.ndarray, atlas: np.ndarray) -> float:
     s, e = band
     strip = ink[s:e]
     xs = np.nonzero(strip.any(axis=0))[0]
-    af = atlas.astype(np.float32)
-    a_sum = af.sum(axis=1)
+    af, a_sum = _atlas_f32(atlas)
+    xmin, xmax = int(xs.min()), int(xs.max())
     best = -1.0
     for off in range(CELL):
-        x0 = int(xs.min()) - off
-        ncell = (int(xs.max()) - x0) // CELL + 1
+        x0 = xmin - off
+        ncell = (xmax - x0) // CELL + 1
         pad = np.zeros((CELL, ncell * CELL), dtype=bool)
         lo = max(x0, 0)
-        pad[:e - s, lo - x0:xs.max() + 1 - x0] = strip[:, lo:xs.max() + 1]
+        pad[:e - s, lo - x0:xmax + 1 - x0] = strip[:, lo:xmax + 1]
         cells = pad.reshape(CELL, ncell, CELL).transpose(1, 0, 2) \
                    .reshape(ncell, 64)
         nb = cells.any(axis=1)
@@ -150,23 +164,29 @@ def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
     (/root/reference/src/infrastructure/services/ocr_service.py:26-36).
     Both families carry independent confidences over the same pixels."""
     ink = img < 128
-    ys, xs = np.nonzero(ink)
-    if ys.size == 0:
+    # ink bbox without materializing every ink coordinate (argmax on the
+    # row/column occupancy profiles gives the identical min/max values)
+    rowink = ink.any(axis=1)
+    if not rowink.any():
         return "", []
-    y0, x0 = int(ys.min()), int(xs.min())
-    n_rows = (int(ys.max()) - y0) // PITCH_Y + 1
-    n_cols = (int(xs.max()) - x0) // CELL + 1
+    colink = ink.any(axis=0)
+    y0 = int(rowink.argmax())
+    y_max = int(rowink.size - 1 - rowink[::-1].argmax())
+    x0 = int(colink.argmax())
+    x_max = int(colink.size - 1 - colink[::-1].argmax())
+    n_rows = (y_max - y0) // PITCH_Y + 1
+    n_cols = (x_max - x0) // CELL + 1
 
-    # gather all cells of the page into one (n_rows*n_cols, 64) batch
-    cells = np.zeros((n_rows, n_cols, 64), dtype=np.uint8)
-    for r in range(n_rows):
-        yy = y0 + r * PITCH_Y
-        band = ink[yy:yy + CELL, x0:x0 + n_cols * CELL]
-        pad = np.zeros((CELL, n_cols * CELL), dtype=bool)
-        pad[:band.shape[0], :band.shape[1]] = band
-        cells[r] = (pad.reshape(CELL, n_cols, CELL)
-                       .transpose(1, 0, 2).reshape(n_cols, 64))
-    flat = cells.reshape(-1, 64)
+    # gather all cells of the page into one (n_rows*n_cols, 64) batch:
+    # one zero-padded copy of the ink bbox, then a pure reshape/transpose
+    # (PITCH_Y-strided glyph bands -> per-cell bit rows); identical cell
+    # values to the former per-row gather loop
+    gh, gw = n_rows * PITCH_Y, n_cols * CELL
+    pad = np.zeros((gh, gw), dtype=bool)
+    sub = ink[y0:y0 + gh, x0:x0 + gw]
+    pad[:sub.shape[0], :sub.shape[1]] = sub
+    flat = (pad.reshape(n_rows, PITCH_Y, n_cols, CELL)[:, :CELL]
+               .transpose(0, 2, 1, 3).reshape(n_rows * n_cols, 64))
 
     # single vectorized matching step: agreement popcount against the atlas
     # via one small matmul — for 0/1 vectors a and b,
@@ -174,57 +194,80 @@ def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
     # a page grid: margins, gaps, blanked symbol regions) skip the
     # matmul entirely — they decode to " " and their conf is never read
     # (word ranges are maximal nonspace runs), so the skip is exact.
+    # Agreement counts are small integers, exact in float32, so
+    # argmax/max equal the old int32 path bit-for-bit.
     blank = ~flat.any(axis=1)
     nb_idx = np.nonzero(~blank)[0]
     ff = flat[nb_idx].astype(np.float32)
-    af = atlas.astype(np.float32)
-    agree = (64.0 - ff.sum(axis=1)[:, None] - af.sum(axis=1)[None, :]
-             + 2.0 * (ff @ af.T)).astype(np.int32)           # (nnb, K)
+    af, a_sum = _atlas_f32(atlas)
+    agree = (64.0 - ff.sum(axis=1)[:, None] - a_sum[None, :]
+             + 2.0 * (ff @ af.T))                             # (nnb, K)
     best = np.zeros(flat.shape[0], dtype=np.int64)
     conf = np.zeros(flat.shape[0], dtype=np.float64)
     best[nb_idx] = agree.argmax(axis=1)
-    conf[nb_idx] = agree.max(axis=1) / 64.0
+    conf[nb_idx] = agree.max(axis=1).astype(np.float64) / 64.0
 
-    # vectorized decode: the per-cell Python loop was the kernel's
-    # hottest remaining block.  Character grid in one fancy-index, word
-    # runs from one transition diff per page, per-word conf as a
-    # contiguous slice mean (bit-identical to the old per-index list
-    # mean: same float64 elements in the same order)
-    charr = np.array(list(charset))
-    grid = np.where(blank, " ", charr[best]).reshape(n_rows, n_cols)
-    lines = ["".join(row).rstrip() for row in grid]
-    conf2 = conf.reshape(n_rows, n_cols)
+    # vectorized decode: byte-LUT the glyph indices (charset is ASCII),
+    # blank cells become spaces, and the page text is ONE bytes->str
+    # decode sliced per row (no per-cell string joins)
+    lut = np.frombuffer(charset.encode("ascii"), dtype=np.uint8)
+    codes = lut[best]
+    codes[blank] = 32
+    page_str = codes.tobytes().decode("ascii")
+    lines = [page_str[r * n_cols:(r + 1) * n_cols].rstrip()
+             for r in range(n_rows)]
 
-    nonspace = (grid != " ")
+    nonspace = (codes != 32).reshape(n_rows, n_cols)
     # cells beyond each line's rstripped end are trailing blanks — they
-    # are already False in nonspace (blank cells decode to " ")
-    d = np.diff(nonspace.astype(np.int8), axis=1)
+    # are already False in nonspace (blank cells decode to " ").  Word
+    # runs come from ONE page-wide transition scan over a False-padded
+    # copy (two nonzero calls per page, not two per row); np.nonzero
+    # yields them in (row, col) order, so rows group contiguously.
+    padded = np.zeros((n_rows, n_cols + 2), dtype=np.int8)
+    padded[:, 1:-1] = nonspace
+    d = np.diff(padded, axis=1)
+    srow, scol = np.nonzero(d == 1)
+    ecol = np.nonzero(d == -1)[1]
     spans: list[Span] = []
     line_spans: list[Span] = []
-    for r in range(n_rows):
-        starts = list(np.nonzero(d[r] == 1)[0] + 1)
-        ends = list(np.nonzero(d[r] == -1)[0] + 1)
-        if nonspace[r, 0]:
-            starts.insert(0, 0)
-        if nonspace[r, -1]:
-            ends.append(n_cols)
-        line = lines[r]
-        row_words: list[Span] = []
-        for start, c in zip(starts, ends):
-            row_words.append(Span(
-                text=line[start:c],
-                conf=float(conf2[r, start:c].mean()),
-                x0=float(x0 + start * CELL), y0=float(y0 + r * PITCH_Y),
-                x1=float(x0 + c * CELL), y1=float(y0 + r * PITCH_Y + CELL),
-                kind="word",
-            ))
-        spans.extend(row_words)
-        if row_words:
+    nwords = srow.size
+    if nwords:
+        # all word confidences in one reduceat: each cell conf is k/64
+        # (exactly representable), so any summation order gives the exact
+        # sum and sum/len equals the old per-slice np.mean bit-for-bit
+        fs = srow * n_cols + scol
+        fe = srow * n_cols + ecol
+        idx = np.empty(2 * nwords, dtype=np.int64)
+        idx[0::2] = fs
+        idx[1::2] = fe
+        if idx[-1] >= conf.size:   # last word ends at the last cell
+            wsums = np.add.reduceat(conf, idx[:-1])[0::2]
+        else:
+            wsums = np.add.reduceat(conf, idx)[0::2]
+        wmeans = wsums / (fe - fs)
+        i = 0
+        while i < nwords:
+            r = int(srow[i])
+            j = i
+            y0f = float(y0 + r * PITCH_Y)
+            y1f = float(y0 + r * PITCH_Y + CELL)
+            line = lines[r]
+            while j < nwords and srow[j] == r:
+                start, c = scol[j], ecol[j]
+                spans.append(Span(
+                    text=line[start:c],
+                    conf=float(wmeans[j]),
+                    x0=float(x0 + start * CELL), y0=y0f,
+                    x1=float(x0 + c * CELL), y1=y1f,
+                    kind="word",
+                ))
+                j += 1
             line_spans.append(Span(
-                text=line[starts[0]:ends[-1]],
-                conf=float(np.mean([w.conf for w in row_words])),
-                x0=row_words[0].x0, y0=row_words[0].y0,
-                x1=row_words[-1].x1, y1=row_words[-1].y1,
+                text=line[scol[i]:ecol[j - 1]],
+                conf=float(np.mean(wmeans[i:j])),
+                x0=float(x0 + scol[i] * CELL), y0=y0f,
+                x1=float(x0 + ecol[j - 1] * CELL), y1=y1f,
                 kind="line",
             ))
+            i = j
     return canonical_text("\n".join(lines)), spans + line_spans

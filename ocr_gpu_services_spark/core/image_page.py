@@ -64,11 +64,14 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     # placed page canvas itself, so downstream deskew stays pixel-exact.
     page = (img < 128) | (img > 230)
     if not page.all():
-        pys, pxs = np.nonzero(page)
-        if pys.size == 0:
+        prow = page.any(axis=1)
+        if not prow.any():
             return "", []
-        sl = (slice(pys.min(), pys.max() + 1), slice(pxs.min(),
-                                                     pxs.max() + 1))
+        pcol = page.any(axis=0)
+        sl = (slice(int(prow.argmax()),
+                    int(prow.size - prow[::-1].argmax())),
+              slice(int(pcol.argmax()),
+                    int(pcol.size - pcol[::-1].argmax())))
         img, page = img[sl], page[sl]
         if not page.all():
             # bed pixels INSIDE the crop bbox: the page is a photographed
@@ -168,11 +171,11 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
             if best_img is not upright:
                 upright = np.ascontiguousarray(best_img)
                 ink = upright < 128
-    ys, xs = np.nonzero(ink)
-    if ys.size == 0:
+    irow = ink.any(axis=1)
+    if not irow.any():
         return "", []
-    oy = int(ys.min()) - MARGIN          # canonical-frame origin
-    ox = int(xs.min()) - MARGIN
+    oy = int(irow.argmax()) - MARGIN     # canonical-frame origin
+    ox = int(ink.any(axis=0).argmax()) - MARGIN
 
     if fast_upright or _max_band_height(ink) <= CELL:
         text, word_spans = ocr_page(upright, atlas, charset)

@@ -129,8 +129,15 @@ def rectify_page(img: np.ndarray, page_mask: np.ndarray,
         Hm = _corner_h((tl, tr, br, bl), w, h)
     except np.linalg.LinAlgError:
         return img          # collinear corners: no homography exists
-    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64),
-                         np.arange(h, dtype=np.float64))
+    # broadcast row/column vectors through H instead of materializing a
+    # meshgrid: identical per-element float64 arithmetic, two fewer full
+    # (h, w) allocations on the hot path.  (An O(ink) scatter variant —
+    # inverse-map photo ink pixels and forward-check a 3x3 window — was
+    # measured equivalent but ~1.4x SLOWER on the fixture corpus: pages
+    # are ink-dense enough that nine masked passes over the ink set cost
+    # more than one fused pass over the w*h grid.)
+    xs = np.arange(w, dtype=np.float64)[None, :]
+    ys = np.arange(h, dtype=np.float64)[:, None]
     qx, qy = apply_h(Hm, xs, ys)
     qxi = np.rint(qx).astype(np.int64)
     qyi = np.rint(qy).astype(np.int64)
