@@ -96,7 +96,8 @@ def _atlas_f32(atlas: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return _AF_CACHE[1], _AF_CACHE[2]
 
 
-def orientation_score(img: np.ndarray, atlas: np.ndarray) -> float:
+def orientation_score(img: np.ndarray, atlas: np.ndarray,
+                      ink: np.ndarray | None = None) -> float:
     """Glyph-agreement score of the page's FIRST glyph-height ink band —
     the orientation classifier (the engine's stand-in for PaddleOCR's
     ``use_angle_cls=True``, reference ocr_service.py:13).
@@ -109,8 +110,13 @@ def orientation_score(img: np.ndarray, atlas: np.ndarray) -> float:
     its true alignment; an upside-down one can never reach 64.0 (no atlas
     glyph equals a 180-rotated glyph — asserted in build_atlas).  Returns
     -1.0 when the page has no glyph-height band (nothing to vote with).
+
+    ``ink`` lets callers pass the already-thresholded mask (or a rot90
+    VIEW of it — rotating the mask equals thresholding the rotated
+    pixels) so candidate orientations are scored without materializing a
+    rotated gray canvas or re-running a full-page compare.
     """
-    ink = img < 128
+    ink = (img < 128) if ink is None else ink
     rowink = ink.any(axis=1)
     if not rowink.any():
         return -1.0
@@ -151,8 +157,8 @@ def orientation_score(img: np.ndarray, atlas: np.ndarray) -> float:
     return best
 
 
-def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
-             ) -> tuple[str, list[Span]]:
+def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str,
+             ink: np.ndarray | None = None) -> tuple[str, list[Span]]:
     """Locate the glyph grid, batch-match every cell, emit text + spans.
 
     DUAL-ENGINE record families (the reference exposes two OCR engines
@@ -162,8 +168,11 @@ def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str
     — followed by per-LINE spans whose confidence is the mean of the
     line's word confidences — PaddleOCR's line records
     (/root/reference/src/infrastructure/services/ocr_service.py:26-36).
-    Both families carry independent confidences over the same pixels."""
-    ink = img < 128
+    Both families carry independent confidences over the same pixels.
+    ``ink`` optionally supplies the already-thresholded mask (callers on
+    the image route hold it) — one fewer full-page compare."""
+    if ink is None:
+        ink = img < 128
     # ink bbox without materializing every ink coordinate (argmax on the
     # row/column occupancy profiles gives the identical min/max values)
     rowink = ink.any(axis=1)

@@ -104,9 +104,13 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     # that reaches 64.0 is also exactly upright, so the skew path is
     # skipped entirely.
     ink = img < 128
-    s0 = orientation_score(img, atlas)
+    s0 = orientation_score(img, atlas, ink)
     settled = s0 == 64.0
     if not settled:
+        # candidate orientations are scored on rot90 VIEWS of the ink
+        # mask (rotating the mask equals thresholding rotated pixels) —
+        # a losing candidate costs no full-page copy or compare; only
+        # the winner's gray canvas is materialized
         if s0 > -1.0:
             # a glyph-height band exists in place but is imperfect: the
             # common cause is an upside-down scan (a half-turn preserves
@@ -115,16 +119,18 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
             # glyph-height band (a 1-char word's column band) is caught
             # by the last-resort four-way vote below, not here, so the
             # hot skewed-page path pays no extra rotations
-            cand = np.ascontiguousarray(np.rot90(img, 2))
-            if orientation_score(cand, atlas) == 64.0:
-                img, ink, settled = cand, cand < 128, True
+            if orientation_score(None, atlas, np.rot90(ink, 2)) == 64.0:
+                img = np.ascontiguousarray(np.rot90(img, 2))
+                ink = np.ascontiguousarray(np.rot90(ink, 2))
+                settled = True
         else:
             # no glyph-height band in place: quarter-turned, text-free,
             # or heavily skewed — try both quarter turns
             for k in (1, 3):
-                cand = np.ascontiguousarray(np.rot90(img, k))
-                if orientation_score(cand, atlas) == 64.0:
-                    img, ink, settled = cand, cand < 128, True
+                if orientation_score(None, atlas, np.rot90(ink, k)) == 64.0:
+                    img = np.ascontiguousarray(np.rot90(img, k))
+                    ink = np.ascontiguousarray(np.rot90(ink, k))
+                    settled = True
                     break
 
     fast_upright = False
@@ -141,20 +147,19 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
         else:
             upright, _angle = deskew(img)
             ink = upright < 128
-        up_score = orientation_score(upright, atlas)
+        up_score = orientation_score(upright, atlas, ink)
         if up_score < 64.0:  # a perfect in-place row can never be beaten
             # last-resort FOUR-way vote (half-turn first): upside-down
             # scans settle on k=2 after one extra score exactly as
             # before; a quarter-turned page that slipped past the band
             # heuristic reaches the k=1/3 candidates instead of being
-            # OCRed sideways.  rot90 views are scored without a copy;
-            # only the winner is materialized.
-            best_img, best_score = upright, up_score
+            # OCRed sideways.  rot90 mask views are scored without a
+            # copy or a compare; only the winner is materialized.
+            best_k, best_score, best_src = 0, up_score, upright
             for k in (2, 1, 3):
-                cand = np.rot90(upright, k)
-                s = orientation_score(cand, atlas)
+                s = orientation_score(None, atlas, np.rot90(ink, k))
                 if s > best_score:
-                    best_img, best_score = cand, s
+                    best_k, best_score, best_src = k, s, upright
                     if s == 64.0:
                         break
             if best_score < 64.0 and upright is not pre_deskew:
@@ -163,13 +168,14 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
                 # so the shear destroyed the glyph grid): re-vote on the
                 # PRE-deskew pixels — a perfect row there is proof the
                 # page was an exact quarter/half turn with no real skew
+                pre_ink = pre_deskew < 128
                 for k in (1, 3, 2):
-                    cand = np.rot90(pre_deskew, k)
-                    if orientation_score(cand, atlas) == 64.0:
-                        best_img, best_score = cand, 64.0
+                    if orientation_score(None, atlas,
+                                         np.rot90(pre_ink, k)) == 64.0:
+                        best_k, best_score, best_src = k, 64.0, pre_deskew
                         break
-            if best_img is not upright:
-                upright = np.ascontiguousarray(best_img)
+            if best_k != 0 or best_src is not upright:
+                upright = np.ascontiguousarray(np.rot90(best_src, best_k))
                 ink = upright < 128
     irow = ink.any(axis=1)
     if not irow.any():
@@ -178,7 +184,7 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
     ox = int(ink.any(axis=0).argmax()) - MARGIN
 
     if fast_upright or _max_band_height(ink) <= CELL:
-        text, word_spans = ocr_page(upright, atlas, charset)
+        text, word_spans = ocr_page(upright, atlas, charset, ink=ink)
         return text, [Span(s.text, s.conf, s.x0 - ox, s.y0 - oy,
                            s.x1 - ox, s.y1 - oy, s.kind)
                       for s in word_spans]
@@ -282,15 +288,18 @@ def process_image_page(img: np.ndarray, atlas: np.ndarray, charset: str
         tx0 = int(cx0[text_mask].min())
         ty1 = int(cy1[text_mask].max())
         tx1 = int(cx1[text_mask].max())
-        text_img = upright[ty0:ty1 + 1, tx0:tx1 + 1].copy()
-        th, tw = text_img.shape
+        # blank directly in the INK MASK crop (a gray crop would only be
+        # re-thresholded by ocr_page; setting a run to False equals
+        # painting it paper) — saves a uint8 copy + full-crop compare
+        text_ink = ink[ty0:ty1 + 1, tx0:tx1 + 1].copy()
+        tw = tx1 - tx0 + 1
         blank = ~text_mask[r_comp]           # runs of non-text components
         for y, s, e in zip(r_y[blank], r_s[blank], r_e[blank]):
             if ty0 <= y <= ty1:
-                text_img[y - ty0,
+                text_ink[y - ty0,
                          max(int(s) - tx0, 0):
-                         min(int(e) - tx0, tw)] = 255
-        text, word_spans = ocr_page(text_img, atlas, charset)
+                         min(int(e) - tx0, tw)] = False
+        text, word_spans = ocr_page(None, atlas, charset, ink=text_ink)
         word_spans = [Span(s.text, s.conf,
                            s.x0 + tx0 - ox, s.y0 + ty0 - oy,
                            s.x1 + tx0 - ox, s.y1 + ty0 - oy, s.kind)
