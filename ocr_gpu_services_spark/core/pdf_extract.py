@@ -134,6 +134,15 @@ def _object_stream(body: bytes) -> bytes | None:
             raw = zlib.decompress(raw)
         except zlib.error:
             return None
+    elif b"/LZWDecode" in body[:sm.start()]:
+        # legacy writers (pre-Flate Acrobat era) LZW-compress content
+        # streams; PDF's default /EarlyChange 1 matches the TIFF-variant
+        # decoder bit-for-bit (core/tiff.py), open-length mode
+        from .tiff import lzw_decode
+        try:
+            raw = lzw_decode(raw, None)
+        except ValueError:
+            return None
     return raw
 
 

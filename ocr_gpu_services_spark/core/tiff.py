@@ -149,7 +149,14 @@ def lzw_encode(data: bytes) -> bytes:
     return bp.flush()
 
 
-def lzw_decode(data: bytes, expected: int) -> bytes:
+def lzw_decode(data: bytes, expected: int | None) -> bytes:
+    """TIFF-variant LZW (MSB-first, early change).  ``expected`` is the
+    exact output length for TIFF strips (enforced both ways); ``None``
+    decodes an open-length stream terminated by the EOD code — the PDF
+    /LZWDecode shape, whose default /EarlyChange 1 is bit-compatible
+    with TIFF's table-growth schedule (PDF 32000-1 §7.4.4.2).  A hard
+    64 MiB cap bounds adversarial expansion in the open-length mode."""
+    cap = (1 << 26) if expected is None else expected
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width, old = 9, -1
@@ -187,16 +194,16 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
         else:
             raise ValueError("LZW: code out of range")
         out.extend(entry)
-        if len(out) > expected:
+        if len(out) > cap:
             raise ValueError("LZW: overlong output")
         if old >= 0 and len(table) < 4096:
             table.append(table[old] + entry[:1])
             if len(table) > (1 << width) - 2 and width < 12:
                 width += 1
         old = code
-        if len(out) == expected:
+        if expected is not None and len(out) == expected:
             break
-    if len(out) != expected:
+    if expected is not None and len(out) != expected:
         raise ValueError("LZW: wrong decoded length")
     return bytes(out)
 

@@ -25,7 +25,7 @@ SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
 
 # bump whenever generated payload bytes change, so cached bench corpora
 # (bench.py's /tmp parquet cache) are regenerated instead of silently reused
-GEN_VERSION = "r5-c39-1"
+GEN_VERSION = "r5-lzw-1"
 
 _WORDS_EN = (
     "pipeline spark batch arrow kernel parquet shuffle partition executor "
@@ -159,9 +159,14 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
             pages.append({"kind": "text", "style": rng.randrange(6),
                           "lines": lines})
     # ~25% are PDF-1.5 files: objects packed in an /ObjStm container
-    # with an XRef stream (the modern writer default)
+    # with an XRef stream (the modern writer default).  ~30% of the
+    # compressed half use legacy /LZWDecode content streams instead of
+    # Flate (side rng stream "pdflzw" — main draws untouched; the salt
+    # lands LZW rows in tiny so the DuckDB gate exercises the decoder)
+    lrng = random.Random(f"pdflzw:{i}")
     return {"pages": pages, "compress": rng.random() < 0.5,
-            "objstm": rng.random() < 0.25}
+            "objstm": rng.random() < 0.25,
+            "lzw": lrng.random() < 0.30}
 
 
 def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
@@ -209,8 +214,10 @@ def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
                 pages.append(CidPage(lines))          # Type0/CID font
                 continue
             pages.append(ops)
-    return build_pdf(pages, compress=plan["compress"],
-                     objstm=plan["objstm"])
+    comp = plan["compress"]
+    if comp and plan.get("lzw"):
+        comp = "lzw"
+    return build_pdf(pages, compress=comp, objstm=plan["objstm"])
 
 
 def _pdf_page(rng: random.Random, i: int, allow_dct: bool = False) -> bytes:

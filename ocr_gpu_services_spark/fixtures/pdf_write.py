@@ -163,14 +163,16 @@ class CidPage:
         return "\n".join(out).encode("latin-1")
 
 
-def build_pdf(pages: list, *, compress: bool = False,
+def build_pdf(pages: list, *, compress=False,
               objstm: bool = False) -> bytes:
     """Assemble a complete PDF.  Each page is either a content-stream
     ``bytes`` (born-digital text page) or a 2-D uint8 numpy array (a
     SCANNED page: the gray raster becomes a /DeviceGray 8-bit
     FlateDecode image XObject painted by the page's content stream —
     the shape real scan-to-PDF tools emit, which the extractor's OCR
-    fallback must detect and route through the glyph-OCR kernel)."""
+    fallback must detect and route through the glyph-OCR kernel).
+    ``compress`` is False (raw), True (/FlateDecode) or ``"lzw"``
+    (/LZWDecode text content streams, the legacy-writer shape)."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     # allocate object numbers: 2 per text page, 3 per scanned page
@@ -214,8 +216,15 @@ def build_pdf(pages: list, *, compress: bool = False,
         if pkind == "text":
             objs[pnum] = page_obj(
                 cnum, f"/Font << /F1 {font_num} 0 R >>")
-            body = zlib.compress(page) if compress else bytes(page)
-            filt = "/Filter /FlateDecode " if compress else ""
+            if compress == "lzw":     # legacy-writer shape: /LZWDecode
+                from ..core.tiff import lzw_encode
+                body = lzw_encode(bytes(page))
+                filt = "/Filter /LZWDecode "
+            elif compress:
+                body = zlib.compress(page)
+                filt = "/Filter /FlateDecode "
+            else:
+                body, filt = bytes(page), ""
             objs[cnum] = stream_obj(body, filt)
         elif pkind == "cid":
             fnum, tnum = extra

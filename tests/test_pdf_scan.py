@@ -328,3 +328,44 @@ def test_png_predicted_flate_xobject_extracts_identically():
         if tested_gray >= 4 and tested_rgb >= 2:
             break
     assert tested_gray >= 4 and tested_rgb >= 2
+
+
+def test_lzw_content_stream_extracts_identically_to_flate_twin():
+    """/LZWDecode text content streams (legacy-writer shape) must decode
+    to the same text and spans as the FlateDecode twin of the same page
+    — the decoder is the TIFF-variant LZW in open-length mode
+    (core/tiff.py, PDF 32000-1 §7.4.4.2 default /EarlyChange 1)."""
+    ops = content_stream_ops(["INVOICE TOTAL 42", "PAID IN FULL"])
+    lz = build_pdf([ops], compress="lzw")
+    fl = build_pdf([ops], compress=True)
+    assert b"/LZWDecode" in lz and b"/FlateDecode" not in lz
+    tl, sl = extract_pdf(lz)
+    tf, sf = extract_pdf(fl)
+    assert tl == tf and tl.startswith("INVOICE TOTAL 42")
+    assert [s.as_dict() for s in sl] == [s.as_dict() for s in sf]
+
+
+def test_lzw_open_length_roundtrip_and_damage():
+    import random as _random
+
+    from ocr_gpu_services_spark.core.tiff import lzw_decode, lzw_encode
+    rng = _random.Random(42)
+    for n in (0, 1, 7, 300, 5000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        enc = lzw_encode(data)
+        assert lzw_decode(enc, None) == data        # open-length (PDF)
+        assert lzw_decode(enc, n) == data           # exact-length (TIFF)
+    # truncated / corrupted streams raise (extract_pdf degrades upstream)
+    enc = lzw_encode(b"A" * 1000)
+    try:
+        lzw_decode(enc[: len(enc) // 2], None)
+    except ValueError:
+        pass
+    else:                                           # pragma: no cover
+        raise AssertionError("truncated LZW stream must raise")
+    # a corrupt content stream degrades to skipping the page, not a throw
+    bad = build_pdf([content_stream_ops(["HELLO WORLD"])], compress="lzw")
+    i = bad.index(b"stream\n") + 7
+    corrupted = bad[:i + 2] + b"\xff\xff\xff\xff" + bad[i + 6:]
+    text, spans = extract_pdf(corrupted)
+    assert isinstance(text, str)
