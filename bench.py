@@ -45,6 +45,40 @@ BENCH_QUERIES = [
     "window_topk", "events_sessionize", "range_join_binned", "asof_join", "hypertable_rollup",
 ]
 
+def _kernel_cpu_ms_per_doc(pages_dir: str, sample: int = 2000) -> float:
+    """Single-thread extraction CPU cost (ms/doc) over a deterministic
+    corpus sample, best of 3 passes on time.thread_time().  pyarrow read
+    (duckdb's worker pool keeps spinning after close and poisons
+    process-wide CPU clocks)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from ocr_gpu_services_spark.core.extract import (extract_document,
+                                                     get_atlas)
+    files = sorted(_glob.glob(os.path.join(pages_dir, "*.parquet")))
+    rows = []
+    for f in files[::max(1, len(files) // 8)]:      # spread across shards
+        t = pq.read_table(f, columns=["html", "text"])
+        h, x = t.column("html").to_pylist(), t.column("text").to_pylist()
+        step = max(1, len(h) // (sample // 8))
+        rows.extend(zip(h[::step], x[::step]))
+        if len(rows) >= sample:
+            break
+    rows = rows[:sample]
+    get_atlas()
+    for h, x in rows[:200]:
+        extract_document(h, x)
+    best = None
+    for _ in range(3):
+        t0 = time.thread_time()
+        for h, x in rows:
+            extract_document(h, x)
+        dt = time.thread_time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best / len(rows) * 1e3, 4)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -56,6 +90,13 @@ def main():
         # regenerated whenever the fixture generator's payloads change
         write_pages_sharded(scale, pages_cache, files=128,
                             procs=min(16, os.cpu_count() or 8))
+    # load-immune anchor: single-thread kernel CPU per doc (thread_time
+    # counts only this thread's cycles — outside-tenant load on this
+    # shared host swings WALL numbers ±50%, see BENCH/BASELINE.md).
+    # headline ≈ 1000/kernel_ms_per_doc * effective_cores; the spin-loop
+    # calibration in tools/bench_scaling.py measures effective_cores.
+    kernel_ms = _kernel_cpu_ms_per_doc(pages_cache)
+
     spark = get_spark(app="bench", cores=cpus, shuffle_partitions=128)
 
     # headline: extraction docs/sec (kernel + classification, count sink)
@@ -102,6 +143,7 @@ def main():
         "extract_wall_s": round(t_extract, 3),
         "extract_docs": n_docs,
         "extract_chars": int(out["chars"]),
+        "kernel_cpu_ms_per_doc": kernel_ms,
         "queries": qtimes,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cores": cpus,
