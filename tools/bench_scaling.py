@@ -150,13 +150,21 @@ def main() -> int:
         write_pages_sharded(args.scale, input_path, files=PARTITIONS,
                             procs=min(16, os.cpu_count() or 8))
 
-    # hardware ceiling at each core count (pinned spin loops)
-    cpu = {c: run_pinned(["--calib", str(c)], c)["iters_per_s"]
-           for c in (args.n, args.xn)}
-    hw_ratio = cpu[args.xn] / cpu[args.n]
-    print(f"  hw ceiling: {args.n}->{args.xn} cores gives "
-          f"{hw_ratio:.2f}x aggregate CPU (ideal {args.xn / args.n:.0f}x)",
-          file=sys.stderr)
+    # hardware ceiling at each core count (pinned spin loops).  Each job
+    # draw below is BRACKETED by calibrations of its own core count and
+    # the session keeps the MAX per level: outside tenant load can only
+    # subtract from a pure spin loop, so the max over several samples is
+    # the true quiet-hardware ceiling.  (A single up-front calibration
+    # pair proved fragile: one loaded 4-core calibration inflates the
+    # ratio and sinks eff_norm even when every job draw was quiet —
+    # three such mismatched-condition rows are kept in BENCH/BASELINE.md
+    # for honesty.)
+    cal: dict[int, list[float]] = {args.n: [], args.xn: []}
+
+    def do_calib(c: int) -> float:
+        v = run_pinned(["--calib", str(c)], c)["iters_per_s"]
+        cal[c].append(v)
+        return v
 
     def wait_for_quiet(max_wait_s: float = 600, threshold: float = 2.0):
         """This sandbox shares its host: background tenant load competes
@@ -178,13 +186,21 @@ def main() -> int:
     for rep in range(args.repeats):
         for cores in (args.n, args.xn):
             wait_for_quiet()
+            c_pre = do_calib(cores)
             r = run_pinned(["--child", str(cores), "--input", input_path],
                            cores)
+            c_post = do_calib(cores)
             best = results.get(cores)
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 results[cores] = r
             print(f"  rep{rep} local[{cores}]: {r['docs_per_sec']} docs/s "
-                  f"({r['wall_s']}s)", file=sys.stderr)
+                  f"({r['wall_s']}s; calib {c_pre / 1e6:.1f}M/"
+                  f"{c_post / 1e6:.1f}M it/s)", file=sys.stderr)
+
+    hw_ratio = max(cal[args.xn]) / max(cal[args.n])
+    print(f"  hw ceiling (session-max calibs): {args.n}->{args.xn} cores "
+          f"gives {hw_ratio:.2f}x aggregate CPU "
+          f"(ideal {args.xn / args.n:.0f}x)", file=sys.stderr)
 
     rn, rxn = results[args.n], results[args.xn]
     ratio = args.xn / args.n
@@ -202,6 +218,8 @@ def main() -> int:
         "docs_per_sec_N": rn["docs_per_sec"],
         "docs_per_sec_4N": rxn["docs_per_sec"],
         "wall_s_N": rn["wall_s"], "wall_s_4N": rxn["wall_s"],
+        "calib_iters_per_s": {str(c): [round(v) for v in vs]
+                              for c, vs in cal.items()},
     }
     print(json.dumps(summary))
 
