@@ -601,6 +601,12 @@ def extract_pdf(payload: bytes) -> tuple[str, list[Span]]:
     and the render joins the document text exactly like a born-digital
     page — whole-PDF text is the per-page renders joined by blank lines,
     matching the reference's concatenated per-page OCR output."""
+    if b"/Encrypt" in payload:
+        # owner-locked (empty-user-password) RC4 files decrypt in place
+        # (length-preserving, so every offset and /Length stays valid);
+        # AES / real-password files raise and degrade to the error column
+        from .pdf_crypt import decrypt_pdf
+        payload = decrypt_pdf(payload)
     objs = _parse_objects(payload)
     page_nums = _page_order(payload, objs)
 

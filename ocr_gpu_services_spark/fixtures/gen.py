@@ -25,7 +25,7 @@ SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
 
 # bump whenever generated payload bytes change, so cached bench corpora
 # (bench.py's /tmp parquet cache) are regenerated instead of silently reused
-GEN_VERSION = "r5-lzw-1"
+GEN_VERSION = "r5-rc4-1"
 
 _WORDS_EN = (
     "pipeline spark batch arrow kernel parquet shuffle partition executor "
@@ -164,9 +164,18 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
     # Flate (side rng stream "pdflzw" — main draws untouched; the salt
     # lands LZW rows in tiny so the DuckDB gate exercises the decoder)
     lrng = random.Random(f"pdflzw:{i}")
+    # ~20% are OWNER-LOCKED encrypted files (RC4 standard security
+    # handler, empty user password — the shape real tools emit, opened
+    # silently by every viewer): 60/40 split of 128-bit /R 3 vs legacy
+    # 40-bit /R 2.  Side rng stream "pdfenc" — main draws untouched,
+    # extraction is byte-identical, so goldens never move; the salt
+    # lands both key widths in tiny so the DuckDB gate decrypts both.
+    erng = random.Random(f"pdfenc:{i}")
+    enc = (40 if erng.random() < 0.40 else 128) \
+        if erng.random() < 0.20 else 0
     return {"pages": pages, "compress": rng.random() < 0.5,
             "objstm": rng.random() < 0.25,
-            "lzw": lrng.random() < 0.30}
+            "lzw": lrng.random() < 0.30, "encrypt": enc}
 
 
 def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
@@ -217,7 +226,17 @@ def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
     comp = plan["compress"]
     if comp and plan.get("lzw"):
         comp = "lzw"
-    return build_pdf(pages, compress=comp, objstm=plan["objstm"])
+    enc = plan.get("encrypt", 0)
+    if plan["objstm"]:
+        enc = 0        # writer scope: encrypt + objstm mutually exclusive
+    if enc and not allow_dct \
+            and any(pg["kind"] == "scan" for pg in plan["pages"]):
+        # correctness scales only for scan-bearing docs (same gating as
+        # DCT/color): pure-Python RC4 over multi-KB rasters would tax the
+        # bench corpus; born-digital encrypted rows ride every scale
+        enc = 0
+    return build_pdf(pages, compress=comp, objstm=plan["objstm"],
+                     encrypt=enc)
 
 
 def _pdf_page(rng: random.Random, i: int, allow_dct: bool = False) -> bytes:

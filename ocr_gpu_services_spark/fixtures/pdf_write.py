@@ -164,7 +164,7 @@ class CidPage:
 
 
 def build_pdf(pages: list, *, compress=False,
-              objstm: bool = False) -> bytes:
+              objstm: bool = False, encrypt: int = 0) -> bytes:
     """Assemble a complete PDF.  Each page is either a content-stream
     ``bytes`` (born-digital text page) or a 2-D uint8 numpy array (a
     SCANNED page: the gray raster becomes a /DeviceGray 8-bit
@@ -172,7 +172,13 @@ def build_pdf(pages: list, *, compress=False,
     the shape real scan-to-PDF tools emit, which the extractor's OCR
     fallback must detect and route through the glyph-OCR kernel).
     ``compress`` is False (raw), True (/FlateDecode) or ``"lzw"``
-    (/LZWDecode text content streams, the legacy-writer shape)."""
+    (/LZWDecode text content streams, the legacy-writer shape).
+    ``encrypt`` is 0 (off), 40 (RC4 /V 1 /R 2) or 128 (RC4 /V 2 /R 3):
+    the owner-locked shape real tools emit — owner password set, USER
+    password EMPTY, so any viewer (and the extractor) opens it silently.
+    Streams are RC4-encrypted after filtering (spec order) with
+    per-object keys; /ID is a deterministic digest of the plaintext
+    objects.  Mutually exclusive with ``objstm`` in this writer."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     # allocate object numbers: 2 per text page, 3 per scanned page
@@ -297,6 +303,43 @@ def build_pdf(pages: list, *, compress=False,
                     f"/BitsPerComponent 8 /Filter /FlateDecode ")
     objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
+    enc_trailer = ""
+    if encrypt:
+        if objstm:
+            raise ValueError("encrypt + objstm unsupported by this writer")
+        if encrypt not in (40, 128):
+            raise ValueError(f"encrypt must be 0, 40 or 128: {encrypt}")
+        import hashlib
+        import re as _re
+
+        from ..core import pdf_crypt as pc
+        v, r, nbytes = (1, 2, 5) if encrypt == 40 else (2, 3, 16)
+        id0 = hashlib.md5(b"".join(objs[n] for n in sorted(objs))).digest()
+        p = -44                      # print+copy allowed, modify denied
+        o_val = pc.owner_value(b"fixture-owner", b"", r, nbytes)
+        key = pc.file_key(o_val, p, id0, r, nbytes)
+        u_val = pc.user_value(key, id0, r)
+        enc_num = font_num + 1
+        lenstr = f" /Length {encrypt}" if r >= 3 else ""
+        objs[enc_num] = (
+            f"<< /Filter /Standard /V {v} /R {r}{lenstr} "
+            f"/O <{o_val.hex()}> /U <{u_val.hex()}> /P {p} >>").encode()
+        for num, body in list(objs.items()):
+            if num == enc_num:
+                continue
+            sm = _re.search(rb"stream\r?\n", body)
+            if not sm:
+                continue
+            ln = int(_re.search(rb"/Length (\d+)",
+                                body[:sm.start()]).group(1))
+            s = sm.end()
+            objs[num] = (body[:s]
+                         + pc.rc4(pc.object_key(key, num, 0),
+                                  body[s:s + ln])
+                         + body[s + ln:])
+        enc_trailer = (f" /Encrypt {enc_num} 0 R "
+                       f"/ID [<{id0.hex()}> <{id0.hex()}>]")
+
     if objstm:
         return _assemble_objstm(objs)
     out = bytearray(b"%PDF-1.4\n")
@@ -311,7 +354,7 @@ def build_pdf(pages: list, *, compress=False,
     for num in range(1, maxnum + 1):
         off = offsets.get(num, 0)
         out += f"{off:010d} 00000 {'n' if num in offsets else 'f'} \n".encode()
-    out += (f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R >>\n"
+    out += (f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R{enc_trailer} >>\n"
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
     return bytes(out)
 
