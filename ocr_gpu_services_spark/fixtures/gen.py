@@ -25,7 +25,7 @@ SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
 
 # bump whenever generated payload bytes change, so cached bench corpora
 # (bench.py's /tmp parquet cache) are regenerated instead of silently reused
-GEN_VERSION = "r5-rc4-1"
+GEN_VERSION = "r5-rc4-2"
 
 _WORDS_EN = (
     "pipeline spark batch arrow kernel parquet shuffle partition executor "
@@ -227,8 +227,6 @@ def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
     if comp and plan.get("lzw"):
         comp = "lzw"
     enc = plan.get("encrypt", 0)
-    if plan["objstm"]:
-        enc = 0        # writer scope: encrypt + objstm mutually exclusive
     if enc and not allow_dct \
             and any(pg["kind"] == "scan" for pg in plan["pages"]):
         # correctness scales only for scan-bearing docs (same gating as

@@ -303,14 +303,11 @@ def build_pdf(pages: list, *, compress=False,
                     f"/BitsPerComponent 8 /Filter /FlateDecode ")
     objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
-    enc_trailer = ""
+    enc_trailer, enc_num, key = "", None, None
     if encrypt:
-        if objstm:
-            raise ValueError("encrypt + objstm unsupported by this writer")
         if encrypt not in (40, 128):
             raise ValueError(f"encrypt must be 0, 40 or 128: {encrypt}")
         import hashlib
-        import re as _re
 
         from ..core import pdf_crypt as pc
         v, r, nbytes = (1, 2, 5) if encrypt == 40 else (2, 3, 16)
@@ -324,24 +321,17 @@ def build_pdf(pages: list, *, compress=False,
         objs[enc_num] = (
             f"<< /Filter /Standard /V {v} /R {r}{lenstr} "
             f"/O <{o_val.hex()}> /U <{u_val.hex()}> /P {p} >>").encode()
-        for num, body in list(objs.items()):
-            if num == enc_num:
-                continue
-            sm = _re.search(rb"stream\r?\n", body)
-            if not sm:
-                continue
-            ln = int(_re.search(rb"/Length (\d+)",
-                                body[:sm.start()]).group(1))
-            s = sm.end()
-            objs[num] = (body[:s]
-                         + pc.rc4(pc.object_key(key, num, 0),
-                                  body[s:s + ln])
-                         + body[s + ln:])
         enc_trailer = (f" /Encrypt {enc_num} 0 R "
                        f"/ID [<{id0.hex()}> <{id0.hex()}>]")
+        if not objstm:
+            for num, body in list(objs.items()):
+                if num == enc_num:
+                    continue
+                objs[num] = _encrypt_stream_in_body(body, key, num)
 
     if objstm:
-        return _assemble_objstm(objs)
+        return _assemble_objstm(objs, key=key, enc_num=enc_num,
+                                enc_trailer=enc_trailer)
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for num in sorted(objs):
@@ -359,13 +349,38 @@ def build_pdf(pages: list, *, compress=False,
     return bytes(out)
 
 
-def _assemble_objstm(objs: dict[int, bytes]) -> bytes:
+def _encrypt_stream_in_body(body: bytes, key: bytes, num: int) -> bytes:
+    """RC4 an assembled object body's stream payload in place (gen 0).
+    No-op for stream-less objects.  /Length is exact in this writer and
+    RC4 preserves length, so nothing else moves."""
+    import re as _re
+
+    from ..core import pdf_crypt as pc
+    sm = _re.search(rb"stream\r?\n", body)
+    if not sm:
+        return body
+    ln = int(_re.search(rb"/Length (\d+)", body[:sm.start()]).group(1))
+    s = sm.end()
+    return (body[:s] + pc.rc4(pc.object_key(key, num, 0), body[s:s + ln])
+            + body[s + ln:])
+
+
+def _assemble_objstm(objs: dict[int, bytes], *, key: bytes | None = None,
+                     enc_num: int | None = None,
+                     enc_trailer: str = "") -> bytes:
     """PDF 1.5 layout: every non-stream object is packed into ONE
     /Type /ObjStm container; the cross-reference is a /Type /XRef
     stream (W [1 4 2], type-2 entries pointing into the ObjStm) with
-    the trailer dict inlined — no classic xref table at all."""
+    the trailer dict inlined — no classic xref table at all.
+
+    With ``key`` (RC4 file key): the modern ENCRYPTED shape — stream
+    objects and the ObjStm container are RC4'd per object number; the
+    packed objects inside ride the container's encryption (spec: not
+    separately encrypted); the /Encrypt dict stays a TOP-LEVEL object
+    (spec forbids it inside an ObjStm) and the XRef stream is never
+    encrypted, its dict carrying /Encrypt + /ID."""
     plain = {n: b for n, b in sorted(objs.items())
-             if b"\nstream\n" not in b}
+             if b"\nstream\n" not in b and n != enc_num}
     streams = {n: b for n, b in objs.items() if n not in plain}
     objstm_num = max(objs) + 1
     xref_num = objstm_num + 1
@@ -378,14 +393,20 @@ def _assemble_objstm(objs: dict[int, bytes]) -> bytes:
     content = (" ".join(header) + "\n").encode()
     first = len(content)
     content += b"\n".join(bodies) + b"\n"
+    comp = zlib.compress(content)
+    if key is not None:
+        from ..core import pdf_crypt as pc
+        comp = pc.rc4(pc.object_key(key, objstm_num, 0), comp)
     objstm_body = ((f"<< /Type /ObjStm /N {len(plain)} /First {first} "
-                    f"/Filter /FlateDecode /Length %d >>\nstream\n")
-                   .encode() % len(zlib.compress(content))
-                   + zlib.compress(content) + b"\nendstream")
+                    f"/Filter /FlateDecode /Length {len(comp)} "
+                    f">>\nstream\n").encode()
+                   + comp + b"\nendstream")
 
     out = bytearray(b"%PDF-1.5\n")
     offsets: dict[int, int] = {}
     for num, body in sorted(streams.items()):
+        if key is not None and num != enc_num:
+            body = _encrypt_stream_in_body(body, key, num)
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     offsets[objstm_num] = len(out)
@@ -408,7 +429,7 @@ def _assemble_objstm(objs: dict[int, bytes]) -> bytes:
         rows += bytes([t]) + a.to_bytes(4, "big") + b.to_bytes(2, "big")
     comp = zlib.compress(bytes(rows))
     out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} "
-            f"/W [1 4 2] /Root 1 0 R /Filter /FlateDecode "
+            f"/W [1 4 2] /Root 1 0 R{enc_trailer} /Filter /FlateDecode "
             f"/Length {len(comp)} >>\nstream\n").encode()
     out += comp + b"\nendstream\nendobj\n"
     out += f"startxref\n{xref_pos}\n%%EOF\n".encode()

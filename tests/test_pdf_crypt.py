@@ -114,9 +114,29 @@ def test_missing_encrypt_object_degrades():
     assert text == "" and "Encrypt" in err
 
 
-def test_writer_rejects_encrypt_with_objstm():
-    with pytest.raises(ValueError):
-        build_pdf([content_stream_ops(LINES)], objstm=True, encrypt=128)
+# ----------------------------------------------- modern (PDF 1.5) layout
+
+@pytest.mark.parametrize("bits", [40, 128])
+def test_encrypted_objstm_layout(bits):
+    """The modern encrypted shape: ObjStm container + XRef stream.  The
+    ObjStm stream is RC4'd per ITS object number (packed objects inside
+    ride the container, spec §7.6.2); the XRef stream is never encrypted
+    and carries /Encrypt + /ID in its dict."""
+    args = dict(compress=True, objstm=True)
+    e = build_pdf([content_stream_ops(LINES), CidPage(LINES)],
+                  **args, encrypt=bits)
+    p = build_pdf([content_stream_ops(LINES), CidPage(LINES)], **args)
+    assert b"/Type /ObjStm" in e and b"/Encrypt" in e
+    assert LINES[0].encode() not in e
+    assert extract_pdf(e) == extract_pdf(p)
+
+
+def test_encrypted_objstm_scanned_page():
+    img = np.full((48, 96), 255, np.uint8)
+    img[10:20, 5:90] = 0
+    e = build_pdf([img], compress=True, objstm=True, encrypt=128)
+    p = build_pdf([img], compress=True, objstm=True)
+    assert extract_pdf(e) == extract_pdf(p)
 
 
 # --------------------------------------------------------------- fixtures
