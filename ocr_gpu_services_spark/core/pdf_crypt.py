@@ -1,15 +1,25 @@
-"""PDF standard security handler (RC4): decrypt-on-read + fixture-side
-encryption.
+"""PDF standard security handler (RC4 + AES): decrypt-on-read +
+fixture-side encryption.
 
 Real crawl corpora contain owner-locked PDFs — encrypted with a non-empty
 OWNER password but an EMPTY user password — which every viewer opens
 silently (the reference's OCR stack reads them through its PDF rasterizer
 the same way; parity: /root/reference/routers/ocr.py rasterizes whatever
 pdf bytes arrive).  This module implements the published standard
-security handler from ISO 32000-1 §7.6 (PDF 1.7): RC4 stream cipher,
-/V 1 (40-bit, /R 2) and /V 2 (up to 128-bit, /R 3), empty-user-password
-key derivation (Algorithm 2), /U verification (Algorithms 4/5), and
-per-object keys (Algorithm 1).
+security handler from ISO 32000 §7.6:
+
+* /V 1 (40-bit RC4, /R 2) and /V 2 (up to 128-bit RC4, /R 3):
+  empty-user-password key derivation (Algorithm 2), /U verification
+  (Algorithms 4/5), per-object keys (Algorithm 1).
+* /V 4 (/R 4, PDF 1.6) crypt filters: /CFM /V2 (RC4-128 behind a
+  filter name) and /CFM /AESV2 (AES-128-CBC, per-object key =
+  MD5(file key + obj + gen + "sAlT"), stored bytes = IV || ciphertext
+  with PKCS#7 padding); the /EncryptMetadata false key-derivation
+  suffix is honored.
+* /V 5 (/R 6, PDF 2.0 / Acrobat 9+) /CFM /AESV3: SHA-2 based
+  Algorithm 2.B password hash, /U validation (Algorithm 11), file key
+  unwrapped from /UE with AES-256-CBC (zero IV, no padding); objects
+  use the file key directly.
 
 Scope notes (documented, not silent):
 
@@ -19,19 +29,27 @@ Scope notes (documented, not silent):
   extractor then parses the decrypted file exactly like an unencrypted
   one.  Decryption runs BEFORE filter decoding (spec order: the stored
   bytes are cipher(filter(data))).
+* AES is NOT length-preserving (16-byte IV prefix + padding), so the
+  AES paths REBUILD the file instead: each encrypted stream is spliced
+  out for its plaintext and the object's direct /Length is rewritten.
+  Byte offsets shift — harmless, because this engine's extractor
+  locates objects by scanning, never through the xref
+  (core/pdf_extract.py module docstring).
 * Object-level strings (doc-info /Title etc.) are NOT consumed by the
   extractor, so they are left encrypted; strings inside content streams
   become plaintext when their stream is decrypted (strings inside object
   streams are, per spec, not separately encrypted).
 * XRef streams are never encrypted (spec) and are skipped; the /Encrypt
   dictionary's own entries are exempt by definition.
-* /V 4+ (/AESV2, crypt filters) and non-empty USER passwords raise
-  ValueError — the row degrades to its ``error`` column upstream
+* Non-empty USER passwords, /R 5 (the withdrawn Adobe interim scheme),
+  public-key handlers, and /StmF names other than /StdCF or /Identity
+  raise ValueError — the row degrades to its ``error`` column upstream
   (core/extract.py catches per-row).
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import struct
@@ -66,10 +84,12 @@ def _pad_password(pw: bytes) -> bytes:
 
 
 def file_key(o: bytes, p: int, id0: bytes, r: int, nbytes: int,
-             user_pw: bytes = b"") -> bytes:
+             user_pw: bytes = b"", encrypt_metadata: bool = True) -> bytes:
     """Algorithm 2: the file encryption key from the USER password."""
     md = hashlib.md5(_pad_password(user_pw) + o[:32]
-                     + struct.pack("<i", p) + id0)
+                     + struct.pack("<i", p) + id0
+                     + (b"" if encrypt_metadata or r < 4
+                        else b"\xff\xff\xff\xff"))
     key = md.digest()
     if r >= 3:
         for _ in range(50):
@@ -108,11 +128,105 @@ def verify_user_password(u: bytes, key: bytes, id0: bytes, r: int) -> bool:
     return u[:16] == expect[:16] if r >= 3 else u[:32] == expect[:32]
 
 
-def object_key(key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: per-object RC4 key."""
+def object_key(key: bytes, num: int, gen: int,
+               aes: bool = False) -> bytes:
+    """Algorithm 1: per-object key.  ``aes=True`` appends the spec's
+    "sAlT" marker (the /AESV2 variant)."""
     md = hashlib.md5(key + num.to_bytes(3, "little")
-                     + gen.to_bytes(2, "little"))
+                     + gen.to_bytes(2, "little")
+                     + (b"sAlT" if aes else b""))
     return md.digest()[:min(len(key) + 5, 16)]
+
+
+# ----------------------------------------------- AES-256 (/R 6) handler
+
+@functools.lru_cache(maxsize=256)
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the hardened SHA-2 password hash.
+
+    Deliberately expensive by design (~0.2 s here: ≥64 serial AES-CBC
+    rounds); the lru_cache makes repeated extractions of the same doc
+    within a process (oracle runs, multi-query scans of the pages
+    table) pay it once.
+
+    Each round AES-128-CBC-encrypts 64 repetitions of (pw ‖ K ‖ udata)
+    under the previous digest, then picks SHA-256/384/512 by the first
+    ciphertext block's byte sum mod 3; at least 64 rounds, continuing
+    until the last ciphertext byte ≤ round − 32.  (64 repetitions make
+    the input length a multiple of 16, so no padding is involved.)"""
+    from .aes import encrypt_cbc
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = encrypt_cbc(k[:16], k[16:32], k1, pad=False)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def r6_user_entries(file_key: bytes, vsalt: bytes, ksalt: bytes,
+                    user_pw: bytes = b"") -> tuple[bytes, bytes]:
+    """Writer side, Algorithm 8: /U (48 bytes) and /UE (32 bytes)."""
+    from .aes import encrypt_cbc
+    u = hash_2b(user_pw, vsalt) + vsalt + ksalt
+    ik = hash_2b(user_pw, ksalt)
+    ue = encrypt_cbc(ik, b"\x00" * 16, file_key, pad=False)
+    return u, ue
+
+
+def r6_owner_entries(file_key: bytes, u48: bytes, vsalt: bytes,
+                     ksalt: bytes, owner_pw: bytes) -> tuple[bytes, bytes]:
+    """Writer side, Algorithm 9: /O and /OE (owner hash binds /U)."""
+    from .aes import encrypt_cbc
+    o = hash_2b(owner_pw, vsalt, u48) + vsalt + ksalt
+    ik = hash_2b(owner_pw, ksalt, u48)
+    oe = encrypt_cbc(ik, b"\x00" * 16, file_key, pad=False)
+    return o, oe
+
+
+def r6_perms(file_key: bytes, p: int) -> bytes:
+    """Algorithm 10: the /Perms entry (AES-256-ECB of the P record)."""
+    from .aes import encrypt_block
+    rec = (struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"Tadb"
+           + b"\x00\x00\x00\x00")
+    return encrypt_block(file_key, rec)
+
+
+def r6_file_key(u48: bytes, ue: bytes, user_pw: bytes = b"") -> bytes:
+    """Reader side, Algorithm 2.A user-password branch: validate /U and
+    unwrap the file key from /UE; raises on a wrong password."""
+    from .aes import decrypt_cbc
+    if hash_2b(user_pw, u48[32:40]) != u48[:32]:
+        raise ValueError("encrypted PDF: user password required")
+    ik = hash_2b(user_pw, u48[40:48])
+    return decrypt_cbc(ik, b"\x00" * 16, ue[:32], pad=False)
+
+
+# ------------------------------------------------------ payload ciphers
+
+def encrypt_payload(key: bytes, num: int, gen: int, data: bytes,
+                    scheme: str, iv: bytes) -> bytes:
+    """Stored bytes for a stream payload under ``scheme`` ('rc4',
+    'aesv2', 'aes256').  AES schemes prepend the caller's IV."""
+    if scheme == "rc4":
+        return rc4(object_key(key, num, gen), data)
+    from .aes import encrypt_cbc
+    ok = object_key(key, num, gen, aes=True) if scheme == "aesv2" else key
+    return iv + encrypt_cbc(ok, iv, data)
+
+
+def decrypt_payload(key: bytes, num: int, gen: int, data: bytes,
+                    scheme: str) -> bytes:
+    if scheme == "rc4":
+        return rc4(object_key(key, num, gen), data)
+    from .aes import decrypt_cbc
+    if len(data) < 32:
+        raise ValueError("AES stream shorter than IV + one block")
+    ok = object_key(key, num, gen, aes=True) if scheme == "aesv2" else key
+    return decrypt_cbc(ok, data[:16], data[16:])
 
 
 # ---------------------------------------------------------------- parse
@@ -211,40 +325,101 @@ def decrypt_pdf(data: bytes) -> bytes:
         raise ValueError("unsupported PDF encryption filter")
     v = _int_after(enc_body, b"/V", 0)
     r = _int_after(enc_body, b"/R", 2)
-    if v not in (1, 2) or r not in (2, 3):
-        raise ValueError(f"unsupported PDF encryption (V={v} R={r})")
     o = _string_after(enc_body, b"/O")
     u = _string_after(enc_body, b"/U")
     p = _int_after(enc_body, b"/P")
     if o is None or u is None or p is None:
         raise ValueError("encrypted PDF: malformed /Encrypt dictionary")
-    nbits = _int_after(enc_body, b"/Length", 40)
-    nbytes = 5 if v == 1 else max(5, min(16, nbits // 8))
     idm = _ID_RE.search(tail)
     id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
-    key = file_key(o, p, id0, r, nbytes)
-    if not verify_user_password(u, key, id0, r):
-        raise ValueError("encrypted PDF: user password required")
 
-    out = bytearray(data)
+    if v in (1, 2) and r in (2, 3):
+        scheme = "rc4"
+        nbits = _int_after(enc_body, b"/Length", 40)
+        nbytes = 5 if v == 1 else max(5, min(16, nbits // 8))
+        key = file_key(o, p, id0, r, nbytes)
+        if not verify_user_password(u, key, id0, r):
+            raise ValueError("encrypted PDF: user password required")
+    elif v == 4 and r == 4:
+        sf = re.search(rb"/StmF\s*/(\w+)", enc_body)
+        stmf = sf.group(1) if sf else b"Identity"   # spec default
+        if stmf == b"Identity":
+            return data       # streams unencrypted (strings not consumed)
+        if stmf != b"StdCF":
+            raise ValueError(f"unsupported PDF stream filter {stmf!r}")
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
+        cfm = cfm.group(1) if cfm else b""
+        if cfm not in (b"V2", b"AESV2"):
+            raise ValueError(f"unsupported PDF crypt method {cfm!r}")
+        scheme = "rc4" if cfm == b"V2" else "aesv2"
+        em = not re.search(rb"/EncryptMetadata\s+false", enc_body)
+        nbits = _int_after(enc_body, b"/Length", 128)
+        nbytes = max(5, min(16, nbits // 8))
+        key = file_key(o, p, id0, r, nbytes, encrypt_metadata=em)
+        if not verify_user_password(u, key, id0, r):
+            raise ValueError("encrypted PDF: user password required")
+    elif v == 5 and r == 6:
+        scheme = "aes256"
+        ue = _string_after(enc_body, b"/UE")
+        if ue is None or len(u) < 48:
+            raise ValueError("encrypted PDF: malformed /R 6 dictionary")
+        key = r6_file_key(u, ue)          # raises on non-empty user pw
+    else:
+        raise ValueError(f"unsupported PDF encryption (V={v} R={r})")
+
+    if scheme == "rc4":
+        # length-preserving: decrypt in place, offsets stay valid
+        out = bytearray(data)
+        for num, gen, bstart, body in objects:
+            if num == enc_num:
+                continue
+            loc = _stream_span(body)
+            if loc is None:
+                continue
+            start, length = loc
+            plain = rc4(object_key(key, num, gen),
+                        bytes(body[start:start + length]))
+            out[bstart + start:bstart + start + length] = plain
+        return bytes(out)
+
+    # AES: plaintext is shorter than stored bytes (IV + padding), so
+    # rebuild the file, splicing each stream and patching its /Length
+    pieces = []
+    cursor = 0
     for num, gen, bstart, body in objects:
         if num == enc_num:
             continue
-        sm = _STREAM_START_RE.search(body)
-        if not sm:
+        loc = _stream_span(body)
+        if loc is None:
             continue
-        head = body[:sm.start()]
-        if _XREF_TYPE_RE.search(head):
-            continue                      # XRef streams are never encrypted
+        start, length = loc
+        head = body[:start]
+        plain = decrypt_payload(key, num, gen,
+                                bytes(body[start:start + length]), scheme)
         lm = _LENGTH_RE.search(head)
-        if lm:
-            start, length = sm.end(), int(lm.group(1))
-        else:
-            m2 = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.S)
-            if not m2:
-                continue
-            start, length = m2.start(1), len(m2.group(1))
-        plain = rc4(object_key(key, num, gen),
-                    bytes(body[start:start + length]))
-        out[bstart + start:bstart + start + length] = plain
-    return bytes(out)
+        if lm:                       # indirect /Length: leave for the
+            head = (head[:lm.start()]        # stream…endstream fallback
+                    + b"/Length %d" % len(plain) + head[lm.end():])
+        pieces.append(data[cursor:bstart])
+        pieces.append(head + plain + body[start + length:])
+        cursor = bstart + len(body)
+    pieces.append(data[cursor:])
+    return b"".join(pieces)
+
+
+def _stream_span(body: bytes) -> tuple[int, int] | None:
+    """(payload start, stored length) of an object's stream, or None for
+    stream-less objects and never-encrypted XRef streams."""
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
+        return None
+    head = body[:sm.start()]
+    if _XREF_TYPE_RE.search(head):
+        return None
+    lm = _LENGTH_RE.search(head)
+    if lm:
+        return sm.end(), int(lm.group(1))
+    m2 = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.S)
+    if not m2:
+        return None
+    return m2.start(1), len(m2.group(1))

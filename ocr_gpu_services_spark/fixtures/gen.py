@@ -25,7 +25,7 @@ SCALES = {"tiny": 200, "small": 5000, "bench": 50000,
 
 # bump whenever generated payload bytes change, so cached bench corpora
 # (bench.py's /tmp parquet cache) are regenerated instead of silently reused
-GEN_VERSION = "r5-rc4-2"
+GEN_VERSION = "r5-aes-1"
 
 _WORDS_EN = (
     "pipeline spark batch arrow kernel parquet shuffle partition executor "
@@ -173,6 +173,19 @@ def _pdf_plan(rng: random.Random, i: int) -> dict:
     erng = random.Random(f"pdfenc:{i}")
     enc = (40 if erng.random() < 0.40 else 128) \
         if erng.random() < 0.20 else 0
+    # ~55% of the encrypted share upgrades to AES (the modern reality:
+    # /AESV2 AES-128 since Acrobat 7, /R 6 AES-256 since Acrobat 9).
+    # Side rng stream "pdf-aes" — the pdfenc draws above and every main
+    # draw are untouched, so only already-encrypted rows change bytes;
+    # the salt is chosen so tiny keeps ≥1 row of EVERY scheme (40, 128,
+    # aesv2 incl. objstm and lzw combos, aes256) for the DuckDB gate.
+    arng = random.Random(f"pdf-aes:{i}")
+    aes_draw = arng.random()
+    if enc:
+        if aes_draw < 0.30:
+            enc = "aesv2"
+        elif aes_draw < 0.55:
+            enc = "aes256"
     return {"pages": pages, "compress": rng.random() < 0.5,
             "objstm": rng.random() < 0.25,
             "lzw": lrng.random() < 0.30, "encrypt": enc}
@@ -233,6 +246,12 @@ def _render_pdf(plan: dict, allow_dct: bool = False) -> bytes:
         # DCT/color): pure-Python RC4 over multi-KB rasters would tax the
         # bench corpus; born-digital encrypted rows ride every scale
         enc = 0
+    if enc == "aes256" and not allow_dct:
+        # the /R 6 Algorithm 2.B derivation is ~0.4 s/doc on the read
+        # side BY DESIGN (password-hardening); correctness scales only —
+        # the bench corpus keeps the row encrypted but downgrades to the
+        # MD5-derived AESV2 scheme so decrypt stays micro-second cheap
+        enc = "aesv2"
     return build_pdf(pages, compress=comp, objstm=plan["objstm"],
                      encrypt=enc)
 

@@ -303,35 +303,70 @@ def build_pdf(pages: list, *, compress=False,
                     f"/BitsPerComponent 8 /Filter /FlateDecode ")
     objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
-    enc_trailer, enc_num, key = "", None, None
+    enc_trailer, enc_num, key, scheme, id0 = "", None, None, "rc4", b""
     if encrypt:
-        if encrypt not in (40, 128):
-            raise ValueError(f"encrypt must be 0, 40 or 128: {encrypt}")
         import hashlib
 
         from ..core import pdf_crypt as pc
-        v, r, nbytes = (1, 2, 5) if encrypt == 40 else (2, 3, 16)
         id0 = hashlib.md5(b"".join(objs[n] for n in sorted(objs))).digest()
         p = -44                      # print+copy allowed, modify denied
-        o_val = pc.owner_value(b"fixture-owner", b"", r, nbytes)
-        key = pc.file_key(o_val, p, id0, r, nbytes)
-        u_val = pc.user_value(key, id0, r)
         enc_num = font_num + 1
-        lenstr = f" /Length {encrypt}" if r >= 3 else ""
-        objs[enc_num] = (
-            f"<< /Filter /Standard /V {v} /R {r}{lenstr} "
-            f"/O <{o_val.hex()}> /U <{u_val.hex()}> /P {p} >>").encode()
+        if encrypt in (40, 128):
+            v, r, nbytes = (1, 2, 5) if encrypt == 40 else (2, 3, 16)
+            o_val = pc.owner_value(b"fixture-owner", b"", r, nbytes)
+            key = pc.file_key(o_val, p, id0, r, nbytes)
+            u_val = pc.user_value(key, id0, r)
+            lenstr = f" /Length {encrypt}" if r >= 3 else ""
+            objs[enc_num] = (
+                f"<< /Filter /Standard /V {v} /R {r}{lenstr} "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> /P {p} >>").encode()
+        elif encrypt == "aesv2":
+            # PDF 1.6 crypt filters: AES-128-CBC behind /StdCF
+            scheme = "aesv2"
+            o_val = pc.owner_value(b"fixture-owner", b"", 4, 16)
+            key = pc.file_key(o_val, p, id0, 4, 16)
+            u_val = pc.user_value(key, id0, 4)
+            objs[enc_num] = (
+                f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                f"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> /P {p} >>").encode()
+        elif encrypt == "aes256":
+            # PDF 2.0 / Acrobat 9+: AES-256, SHA-2 Algorithm 2.B handler
+            scheme = "aes256"
+            key = hashlib.sha256(b"fixture-file-key" + id0).digest()
+            vsu = hashlib.md5(b"vs-user" + id0).digest()[:8]
+            ksu = hashlib.md5(b"ks-user" + id0).digest()[:8]
+            vso = hashlib.md5(b"vs-owner" + id0).digest()[:8]
+            kso = hashlib.md5(b"ks-owner" + id0).digest()[:8]
+            u_val, ue = pc.r6_user_entries(key, vsu, ksu)
+            o_val, oe = pc.r6_owner_entries(key, u_val, vso, kso,
+                                            b"fixture-owner")
+            perms = pc.r6_perms(key, p)
+            objs[enc_num] = (
+                f"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                f"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_val.hex()}> /U <{u_val.hex()}> "
+                f"/OE <{oe.hex()}> /UE <{ue.hex()}> "
+                f"/Perms <{perms.hex()}> /P {p} >>").encode()
+        else:
+            raise ValueError(
+                f"encrypt must be 0, 40, 128, 'aesv2' or 'aes256':"
+                f" {encrypt!r}")
         enc_trailer = (f" /Encrypt {enc_num} 0 R "
                        f"/ID [<{id0.hex()}> <{id0.hex()}>]")
         if not objstm:
             for num, body in list(objs.items()):
                 if num == enc_num:
                     continue
-                objs[num] = _encrypt_stream_in_body(body, key, num)
+                objs[num] = _encrypt_stream_in_body(body, key, num,
+                                                    scheme, id0)
 
     if objstm:
         return _assemble_objstm(objs, key=key, enc_num=enc_num,
-                                enc_trailer=enc_trailer)
+                                enc_trailer=enc_trailer, scheme=scheme,
+                                id0=id0)
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for num in sorted(objs):
@@ -349,25 +384,42 @@ def build_pdf(pages: list, *, compress=False,
     return bytes(out)
 
 
-def _encrypt_stream_in_body(body: bytes, key: bytes, num: int) -> bytes:
-    """RC4 an assembled object body's stream payload in place (gen 0).
-    No-op for stream-less objects.  /Length is exact in this writer and
-    RC4 preserves length, so nothing else moves."""
+def _det_iv(num: int, id0: bytes) -> bytes:
+    """Deterministic per-object CBC IV (fixtures must be reproducible;
+    the spec only requires the IV to ride the stream, not be random)."""
+    import hashlib
+    return hashlib.md5(b"iv%d:" % num + id0).digest()
+
+
+def _encrypt_stream_in_body(body: bytes, key: bytes, num: int,
+                            scheme: str = "rc4",
+                            id0: bytes = b"") -> bytes:
+    """Encrypt an assembled object body's stream payload in place
+    (gen 0).  No-op for stream-less objects.  /Length is exact in this
+    writer; RC4 preserves it, while the AES schemes grow the payload
+    (IV + padding) so the dict's /Length digits are rewritten."""
     import re as _re
 
     from ..core import pdf_crypt as pc
     sm = _re.search(rb"stream\r?\n", body)
     if not sm:
         return body
-    ln = int(_re.search(rb"/Length (\d+)", body[:sm.start()]).group(1))
+    lnm = _re.search(rb"/Length (\d+)", body[:sm.start()])
+    ln = int(lnm.group(1))
     s = sm.end()
-    return (body[:s] + pc.rc4(pc.object_key(key, num, 0), body[s:s + ln])
-            + body[s + ln:])
+    stored = pc.encrypt_payload(key, num, 0, body[s:s + ln], scheme,
+                                _det_iv(num, id0))
+    head = body[:s]
+    if len(stored) != ln:
+        head = (head[:lnm.start()] + b"/Length %d" % len(stored)
+                + head[lnm.end():])
+    return head + stored + body[s + ln:]
 
 
 def _assemble_objstm(objs: dict[int, bytes], *, key: bytes | None = None,
                      enc_num: int | None = None,
-                     enc_trailer: str = "") -> bytes:
+                     enc_trailer: str = "", scheme: str = "rc4",
+                     id0: bytes = b"") -> bytes:
     """PDF 1.5 layout: every non-stream object is packed into ONE
     /Type /ObjStm container; the cross-reference is a /Type /XRef
     stream (W [1 4 2], type-2 entries pointing into the ObjStm) with
@@ -396,7 +448,8 @@ def _assemble_objstm(objs: dict[int, bytes], *, key: bytes | None = None,
     comp = zlib.compress(content)
     if key is not None:
         from ..core import pdf_crypt as pc
-        comp = pc.rc4(pc.object_key(key, objstm_num, 0), comp)
+        comp = pc.encrypt_payload(key, objstm_num, 0, comp, scheme,
+                                  _det_iv(objstm_num, id0))
     objstm_body = ((f"<< /Type /ObjStm /N {len(plain)} /First {first} "
                     f"/Filter /FlateDecode /Length {len(comp)} "
                     f">>\nstream\n").encode()
@@ -406,7 +459,7 @@ def _assemble_objstm(objs: dict[int, bytes], *, key: bytes | None = None,
     offsets: dict[int, int] = {}
     for num, body in sorted(streams.items()):
         if key is not None and num != enc_num:
-            body = _encrypt_stream_in_body(body, key, num)
+            body = _encrypt_stream_in_body(body, key, num, scheme, id0)
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     offsets[objstm_num] = len(out)
