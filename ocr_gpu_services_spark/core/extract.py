@@ -66,6 +66,9 @@ def decode_image(payload: bytes):
     elif payload[:4] == b"GIF8":
         from .gif import gif_decode
         img = gif_decode(payload)
+    elif payload[:4] == b"RIFF":
+        from .webp import webp_decode
+        img = webp_decode(payload)
     else:
         img = png_decode(payload)
     if img.ndim == 3:

@@ -19,6 +19,8 @@ MAGIC_TIFF_BE = b"MM\x00*"
 MAGIC_BMP = b"BM"
 MAGIC_GIF87 = b"GIF87a"
 MAGIC_GIF89 = b"GIF89a"
+MAGIC_RIFF = b"RIFF"
+MAGIC_WEBP = b"WEBP"
 
 CT_HTML = "html"
 CT_PDF = "pdf"
@@ -40,6 +42,8 @@ def sniff_content_type(payload: bytes | None, text: str | None) -> str:
     if payload[:4] == MAGIC_TIFF_LE or payload[:4] == MAGIC_TIFF_BE:
         return CT_IMAGE
     if payload[:6] == MAGIC_GIF87 or payload[:6] == MAGIC_GIF89:
+        return CT_IMAGE
+    if payload[:4] == MAGIC_RIFF and payload[8:12] == MAGIC_WEBP:
         return CT_IMAGE
     # "BM" alone is two ASCII letters any text can start with; require
     # the BITMAPINFOHEADER size field (offset 14, little-endian) too
@@ -119,6 +123,23 @@ def _probe_gif(payload: bytes) -> str | None:
         + ("-i" if ipack & 0x40 else "")
 
 
+def _probe_webp(payload: bytes) -> str | None:
+    """webp-vp8l / webp-vp8 / webp-vp8x from the first image chunk's
+    fourcc (pixel layout is inside the entropy-coded stream, so gray vs
+    color is not header-probeable the way GIF palettes are)."""
+    import struct
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos:pos + 4]
+        if fourcc == b"VP8L":
+            return "webp-vp8l"
+        if fourcc == b"VP8 ":
+            return "webp-vp8"
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def probe_image_format(payload: bytes) -> str | None:
     """Sub-format of an image payload from its header bytes alone (the
     S3 breadth gate): PNG color type from IHDR, JPEG component count +
@@ -128,6 +149,8 @@ def probe_image_format(payload: bytes) -> str | None:
         return _probe_tiff(payload)
     if payload[:6] in (MAGIC_GIF87, MAGIC_GIF89):
         return _probe_gif(payload)
+    if payload[:4] == MAGIC_RIFF and payload[8:12] == MAGIC_WEBP:
+        return _probe_webp(payload)
     if payload[:2] == MAGIC_BMP and len(payload) >= 30:
         bpp = int.from_bytes(payload[28:30], "little")
         if bpp == 24:

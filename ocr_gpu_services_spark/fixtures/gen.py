@@ -310,6 +310,19 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
     if grng is not None and not as_jpeg and grng.random() < 0.18:
         container = "gif-i" if grng.random() < 0.30 else "gif"
         big_endian = None
+    # ~18% of correctness-scale non-JPEG rows ship as lossless WebP
+    # (VP8L, core/webp.py) — the dominant modern crawl format after
+    # JPEG/PNG.  Literal-only VP8L is exactly lossless, so pixels,
+    # extraction and goldens are byte-identical to the PNG twin.  Side
+    # rng stream "webp4" OVERRIDES the rast1/gif1 container draws
+    # (bilevel-provable gray rows still win, same precedence as ever);
+    # the salt is chosen so tiny keeps >=1 gray + >=1 color WebP row
+    # WITHOUT displacing the gif gray/rgb/interlaced or bmp/tiff
+    # coverage the other fixture tests pin.
+    wrng = random.Random(f"webp4:{i}") if allow_jpeg else None
+    if wrng is not None and not as_jpeg and wrng.random() < 0.18:
+        container = "webp"
+        big_endian = None
     # BILEVEL rows: every correctness-scale page whose render is
     # provably two-valued (no scanner bed, no perspective capture — the
     # compositor only ever writes ink 0 / paper 255 then) and that is
@@ -417,6 +430,9 @@ def _encode_bilevel(img, kind: str) -> bytes:
 def _encode_container(img, kind: str, big_endian: bool | None) -> bytes:
     """BMP / TIFF fixture container for a gray (HxW) or RGB (HxWx3)
     render — all lossless, so extraction is byte-identical to PNG."""
+    if kind == "webp":
+        from ..core.webp import vp8l_encode
+        return vp8l_encode(img)
     if kind in ("gif", "gif-i"):
         from ..core.gif import gif_encode
         return gif_encode(img, interlace=kind == "gif-i")
@@ -521,10 +537,17 @@ def image_row_format(rng: random.Random, i: int,
     gif = None
     if grng is not None and grng.random() < 0.18:
         gif = "-i" if grng.random() < 0.30 else ""
+    # the "webp4" override (mirrors _image_page exactly); the header
+    # probe can only see the container + VP8L chunk, so gray and color
+    # rows share the one label
+    webp = (at_corr_scale
+            and random.Random(f"webp4:{i}").random() < 0.18)
     _comp_label = {"tiff": "", "tiff-packbits": "-packbits",
                    "tiff-lzw": "-lzw", "tiff-lzw-pred": "-lzw"}
     if colorize:
         v = crng.random()
+        if webp:
+            return "webp-vp8l"
         if gif is not None:
             return "gif-rgb" + gif
         if container == "bmp":
@@ -543,6 +566,8 @@ def image_row_format(rng: random.Random, i: int,
                 "tiff-bilevel-g4")[
             random.Random(f"fax15:{i}").randrange(4)]
     graya = crng is not None and crng.random() < 0.25
+    if webp:
+        return "webp-vp8l"
     if gif is not None:
         return "gif-gray" + gif
     if container == "bmp":

@@ -23,6 +23,8 @@ _HEX_BMP = "424D"                # BM
 _HEX_DIB40 = "28000000"          # BITMAPINFOHEADER size at offset 14
 _HEX_GIF87 = "474946383761"      # GIF87a
 _HEX_GIF89 = "474946383961"      # GIF89a
+_HEX_RIFF = "52494646"           # RIFF
+_HEX_WEBP = "57454250"           # WEBP (container fourcc at offset 8)
 
 
 def content_type_col(html: str = "html", text: str = "text") -> Column:
@@ -39,6 +41,9 @@ def content_type_col(html: str = "html", text: str = "text") -> Column:
          .when(F.hex(F.substring(h, 1, 4)) == _HEX_TIFF_BE,
                F.lit(CT_IMAGE))
          .when(F.hex(F.substring(h, 1, 6)).isin(_HEX_GIF87, _HEX_GIF89),
+               F.lit(CT_IMAGE))
+         .when((F.hex(F.substring(h, 1, 4)) == _HEX_RIFF)
+               & (F.hex(F.substring(h, 9, 4)) == _HEX_WEBP),
                F.lit(CT_IMAGE))
          # "BM" alone is plain ASCII; require the DIB header size too
          # (core/sniff.py keeps the identical rule)
