@@ -948,10 +948,10 @@ def image_formats(spark, sf_dir):
     first-IFD samples/compression — core/sniff.py probe_image_format)
     inside mapInPandas.  The corpus carries gray/RGB/palette/RGBA PNG,
     gray/4:4:4/4:2:0 YCbCr JPEG, 8/24-bit BMP, none/PackBits/LZW TIFF
-    rows in both byte orders, 1-bit bilevel scans and gray/color GIF
-    (sequential + interlaced — core/gif.py) (reference parity:
-    cv2.imdecode accepts all of these,
-    /root/reference/src/api/v1/utils.py:15-18)."""
+    rows in both byte orders, 1-bit bilevel scans, gray/color GIF
+    (sequential + interlaced — core/gif.py) and lossless WebP VP8L
+    (core/webp.py) (reference parity: cv2.imdecode accepts all of
+    these, /root/reference/src/api/v1/utils.py:15-18)."""
     import pandas as pd
 
     from ..core.sniff import probe_image_format, sniff_content_type
