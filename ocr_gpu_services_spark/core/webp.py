@@ -16,6 +16,16 @@ coder, DCT, loop filter) and is out of scope by design: lossy rows
 raise ValueError and degrade to the ``error`` column
 (core/extract.py convention), visible rather than silent.
 
+Performance shape (same playbook as core/jpeg.py): fixed-stride
+literal-only streams (the shape vp8l_encode emits) decode fully
+vectorized in numpy — the gate-corpus rows cost ~10-30 ms/page like
+PNG; general libwebp streams run the packed-LUT loop over 32-bit
+windows with bulk-slice LZ77 copies plus a predictor inverse that
+vectorizes the left-free modes per tile span (~0.1-0.5 s/megapixel,
+the documented slow lane — acceptable because no bench-corpus row
+takes it, and a JPEG-style full vectorization of an LZ77-entangled
+stream has no table-driven equivalent).
+
 The decoder is the product path; ``vp8l_encode`` exists for the
 fixture generator (deterministic bytes: no transforms, literal-only
 prefix codes).  Interop is pinned in tests/test_webp.py against the
@@ -70,13 +80,38 @@ _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
 class _BitReader:
     """LSB-first bit reader (VP8L packs bits little-endian within
     bytes; prefix-code bits are read one at a time, first bit = MSB of
-    the canonical code)."""
+    the canonical code).
 
-    __slots__ = ("data", "pos")
+    ``words()``/``words_np()`` expose the stream as 32-bit sliding
+    windows (word[i] = bytes i..i+3 little-endian = the 32 bits
+    starting at bit 8*i), built once and cached: the entropy-decode
+    hot loop indexes these instead of slicing bytes per read — the
+    same table-driven playbook as the JPEG scan decoder
+    (core/jpeg.py _decode_scan)."""
+
+    __slots__ = ("data", "pos", "_w", "_wnp")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0                     # bit position
+        self._w = None
+        self._wnp = None
+
+    def words_np(self) -> np.ndarray:
+        if self._wnp is None:
+            # 12 pad bytes: one decode-loop iteration past a truncated
+            # stream consumes <= ~60 bits before the loop-head check
+            # fires, so window indices stay in range
+            b = np.frombuffer(self.data + b"\x00" * 12, np.uint8
+                              ).astype(np.uint32)
+            self._wnp = (b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16)
+                         | (b[3:] << 24))
+        return self._wnp
+
+    def words(self) -> list[int]:
+        if self._w is None:
+            self._w = self.words_np().tolist()
+        return self._w
 
     def bits(self, n: int) -> int:
         p = self.pos
@@ -97,9 +132,15 @@ class _BitReader:
 class _Prefix:
     """Canonical prefix code as a flat peek table: entry at every index
     whose low ``length`` bits spell the code (bit-reversed, because the
-    stream is read LSB-first while codes are assigned MSB-first)."""
+    stream is read LSB-first while codes are assigned MSB-first).
 
-    __slots__ = ("table", "peek", "single")
+    ``packed`` is the hot-loop form: packed[idx] = (codelen << 16) |
+    symbol, -1 for invalid prefixes; a zero-bit single-symbol code is
+    packed[0] with codelen 0 so the decode loop needs no branch.
+    ``uniform`` (all codes one length) + ``max_sym`` let the decoder
+    spot fixed-stride literal-only streams and leave Python entirely."""
+
+    __slots__ = ("packed", "peek", "single", "uniform", "max_sym")
 
     def __init__(self, lengths: list[int]):
         maxlen = max(lengths, default=0)
@@ -108,14 +149,17 @@ class _Prefix:
         if maxlen > 15:
             raise ValueError("WebP: prefix code too deep")
         syms = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+        self.max_sym = max(s for _, s in syms)
         if len(syms) == 1:
             self.single = syms[0][1]
             self.peek = 0
-            self.table = None
+            self.uniform = 0
+            self.packed = [self.single]
             return
         self.single = None
         self.peek = maxlen
-        table = [None] * (1 << maxlen)
+        self.uniform = maxlen if syms[0][0] == maxlen else None
+        table = [-1] * (1 << maxlen)
         code = 0
         prev_len = syms[0][0]
         for l, s in syms:
@@ -123,15 +167,16 @@ class _Prefix:
             prev_len = l
             rev = int(f"{code:0{l}b}"[::-1], 2)
             step = 1 << l
+            ent = (l << 16) | s
             for idx in range(rev, 1 << maxlen, step):
-                table[idx] = (s, l)
+                table[idx] = ent
             code += 1
         if code != 1 << maxlen >> (maxlen - prev_len) and \
-                any(t is None for t in table):
+                any(t < 0 for t in table):
             # over-subscribed codes already collided above; only
             # under-full tables reach here
             raise ValueError("WebP: incomplete prefix code")
-        self.table = table
+        self.packed = table
 
     @classmethod
     def pair(cls, first: int, second: int) -> "_Prefix":
@@ -140,7 +185,9 @@ class _Prefix:
         p = cls.__new__(cls)
         p.single = None
         p.peek = 1
-        p.table = [(first, 1), (second, 1)]
+        p.uniform = 1
+        p.max_sym = max(first, second)
+        p.packed = [(1 << 16) | first, (1 << 16) | second]
         return p
 
     def read(self, br: _BitReader) -> int:
@@ -153,12 +200,11 @@ class _Prefix:
         if n <= 0:
             raise ValueError("WebP: bitstream truncated")
         word = int.from_bytes(data[p >> 3:(p + n + 7) >> 3], "little")
-        idx = (word >> (p & 7)) & ((1 << n) - 1)
-        ent = self.table[idx]
-        if ent is None or ent[1] > avail:
+        ent = self.packed[(word >> (p & 7)) & ((1 << n) - 1)]
+        if ent < 0 or ent >> 16 > avail:
             raise ValueError("WebP: bad prefix code in stream")
-        br.pos = p + ent[1]
-        return ent[0]
+        br.pos = p + (ent >> 16)
+        return ent & 0xFFFF
 
 
 def _read_prefix_code(br: _BitReader, alphabet: int) -> _Prefix:
@@ -225,10 +271,52 @@ def _prefix_value(code: int, br: _BitReader) -> int:
 
 # ------------------------------------------------------- image decoding
 
+def _decode_uniform_literals(br: _BitReader, n: int,
+                             trees: tuple) -> np.ndarray:
+    """Fully-vectorized decode for fixed-stride literal-only streams:
+    every tree's codes share one length and the green tree carries no
+    backref/cache symbols, so pixel i's g/r/b/a codes sit at bit
+    ``start + i*stride (+channel offset)`` — a numpy gather + LUT per
+    channel, no Python loop.  This is exactly the shape vp8l_encode
+    emits, so fixture rows decode at PNG-like speed; general libwebp
+    streams take the LUT-loop path below."""
+    g_t, r_t, b_t, a_t, _ = trees
+    lg, lr, lb, la = (g_t.uniform, r_t.uniform, b_t.uniform,
+                      a_t.uniform)
+    stride = lg + lr + lb + la
+    start = br.pos
+    total = start + n * stride
+    if (total + 7) >> 3 > len(br.data):
+        raise ValueError("WebP: bitstream truncated")
+    w32 = br.words_np()
+    chans = []
+    base = start + stride * np.arange(n, dtype=np.int64)
+    off = 0
+    for t, L in ((g_t, lg), (r_t, lr), (b_t, lb), (a_t, la)):
+        if L == 0:                                  # zero-bit single
+            chans.append(np.full(n, t.single, np.int32))
+        else:
+            p = base + off
+            vals = ((w32[p >> 3] >> (p & 7).astype(np.uint32))
+                    & np.uint32((1 << L) - 1))
+            lut = (np.array(t.packed, np.int64)
+                   & 0xFFFF).astype(np.int32)
+            chans.append(lut[vals])
+        off += L
+    br.pos = total
+    g, r, b, a = chans
+    return np.stack([a, r, g, b], axis=1).astype(np.uint8)
+
+
 def _decode_pixels(br: _BitReader, w: int, h: int,
                    main: bool = False) -> np.ndarray:
     """Decode one (entropy-coded) ARGB image to an (h*w, 4) uint8 array
-    in ARGB channel order, §4.6.1-4.6.3."""
+    in ARGB channel order, §4.6.1-4.6.3.
+
+    The general path is the JPEG-playbook LUT loop: each prefix symbol
+    costs one index into the packed peek table addressed by a 32-bit
+    sliding window, pixels accumulate as ARGB ints so LZ77 backrefs are
+    bulk list slices and the color cache is plain int hashing."""
     cache_bits = 0
     if br.bit():
         cache_bits = br.bits(4)
@@ -259,142 +347,274 @@ def _decode_pixels(br: _BitReader, w: int, h: int,
                        _read_prefix_code(br, 40)))
 
     n = w * h
-    out = np.zeros((n, 4), np.uint8)                # A, R, G, B
-    pix = out                                       # row view
-    g_tree, r_tree, b_tree, a_tree, d_tree = groups[0]
+    if (meta is None and not cache_bits
+            and groups[0][0].max_sym < 256
+            and all(t.uniform is not None for t in groups[0][:4])):
+        return _decode_uniform_literals(br, n, groups[0])
+
+    u32 = br.words()
+    data_bits = len(br.data) << 3
+    pos = br.pos
+    packed_groups = [tuple((t.packed, (1 << t.peek) - 1) for t in g)
+                     for g in groups]
+    (tg, mg), (tr, mr), (tb, mb), (ta, ma), (td, md) = packed_groups[0]
+    out: list[int] = []                             # ARGB ints
+    append = out.append
+    dist_map = _DIST_MAP
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    meta_rows = meta.tolist() if meta is not None else None
+    grow = meta_rows[0] if meta_rows is not None else None
     i = 0
     x = 0
-    cache_shift = 32 - cache_bits if cache_bits else 0
+    y = 0
+    gi_last = 0
     while i < n:
-        if meta is not None:
-            gi = meta[(i // w) >> hbits, x >> hbits]
-            g_tree, r_tree, b_tree, a_tree, d_tree = groups[gi]
-        s = g_tree.read(br)
+        if pos > data_bits:           # ran off a truncated stream; the
+            break                     # post-loop check raises
+
+        if grow is not None:
+            gi = grow[x >> hbits]
+            if gi != gi_last:
+                ((tg, mg), (tr, mr), (tb, mb), (ta, ma),
+                 (td, md)) = packed_groups[gi]
+                gi_last = gi
+        e = tg[(u32[pos >> 3] >> (pos & 7)) & mg]
+        if e < 0:
+            raise ValueError("WebP: bad prefix code in stream")
+        pos += e >> 16
+        s = e & 0xFFFF
         if s < 256:                                 # literal
-            r = r_tree.read(br)
-            b = b_tree.read(br)
-            a = a_tree.read(br)
-            pix[i, 0] = a
-            pix[i, 1] = r
-            pix[i, 2] = s
-            pix[i, 3] = b
+            e = tr[(u32[pos >> 3] >> (pos & 7)) & mr]
+            pos += e >> 16
+            r = e & 0xFFFF
+            e = tb[(u32[pos >> 3] >> (pos & 7)) & mb]
+            pos += e >> 16
+            b = e & 0xFFFF
+            e = ta[(u32[pos >> 3] >> (pos & 7)) & ma]
+            pos += e >> 16
+            argb = ((e & 0xFFFF) << 24) | (r << 16) | (s << 8) | b
+            append(argb)
             if cache_bits:
-                argb = (a << 24) | (r << 16) | (s << 8) | b
                 cache[(0x1E35A7BD * argb & 0xFFFFFFFF)
                       >> cache_shift] = argb
             i += 1
             x += 1
             if x == w:
                 x = 0
+                y += 1
+                if meta_rows is not None and y < h:
+                    grow = meta_rows[y >> hbits]
         elif s < 256 + 24:                          # LZ77 backref
-            length = _prefix_value(s - 256, br)
-            dcode = _prefix_value(d_tree.read(br), br)
-            if dcode > 120:
-                dist = dcode - 120
+            lc = s - 256
+            if lc < 4:
+                length = lc + 1
             else:
-                dx, dy = _DIST_MAP[dcode - 1]
+                eb = (lc - 2) >> 1
+                length = (((2 + (lc & 1)) << eb) + 1
+                          + ((u32[pos >> 3] >> (pos & 7))
+                             & ((1 << eb) - 1)))
+                pos += eb
+            e = td[(u32[pos >> 3] >> (pos & 7)) & md]
+            if e < 0:
+                raise ValueError("WebP: bad prefix code in stream")
+            pos += e >> 16
+            dc = e & 0xFFFF
+            if dc < 4:
+                dv = dc + 1
+            else:
+                eb = (dc - 2) >> 1
+                dv = (((2 + (dc & 1)) << eb) + 1
+                      + ((u32[pos >> 3] >> (pos & 7))
+                         & ((1 << eb) - 1)))
+                pos += eb
+            if dv > 120:
+                dist = dv - 120
+            else:
+                dx, dy = dist_map[dv - 1]
                 dist = dy * w + dx
                 if dist < 1:
                     dist = 1
             if dist > i or i + length > n:
                 raise ValueError("WebP: LZ77 reference out of range")
-            for k in range(length):                 # may self-overlap
-                pix[i + k] = pix[i + k - dist]
+            if dist >= length:
+                out.extend(out[i - dist:i - dist + length])
+            else:
+                for k in range(i, i + length):      # self-overlapping
+                    append(out[k - dist])
             if cache_bits:
-                blk = pix[i:i + length].astype(np.uint32)
-                argbs = ((blk[:, 0] << 24) | (blk[:, 1] << 16)
-                         | (blk[:, 2] << 8) | blk[:, 3])
-                for argb in argbs:
-                    cache[(0x1E35A7BD * int(argb) & 0xFFFFFFFF)
-                          >> cache_shift] = int(argb)
+                for argb in out[i:i + length]:
+                    cache[(0x1E35A7BD * argb & 0xFFFFFFFF)
+                          >> cache_shift] = argb
             i += length
             x = i % w
+            if meta_rows is not None:
+                y = i // w
+                grow = meta_rows[y >> hbits] if y < h else grow
         else:                                       # color-cache hit
             idx = s - 256 - 24
             if cache is None or idx >= len(cache):
                 raise ValueError("WebP: cache index without cache")
-            argb = cache[idx]
-            pix[i, 0] = argb >> 24
-            pix[i, 1] = (argb >> 16) & 0xFF
-            pix[i, 2] = (argb >> 8) & 0xFF
-            pix[i, 3] = argb & 0xFF
+            append(cache[idx])
             i += 1
             x += 1
             if x == w:
                 x = 0
-    return out
+                y += 1
+                if meta_rows is not None and y < h:
+                    grow = meta_rows[y >> hbits]
+    if pos > data_bits:
+        raise ValueError("WebP: bitstream truncated")
+    br.pos = pos
+    arr = np.array(out, np.uint32)
+    return np.stack([(arr >> 24), (arr >> 16) & 0xFF,
+                     (arr >> 8) & 0xFF, arr & 0xFF],
+                    axis=1).astype(np.uint8)
 
 
 # ----------------------------------------------------------- transforms
 
-def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return ((a.astype(np.int32) + b) >> 1).astype(np.int32)
+def _avg2v(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a + b) >> 1
 
 
-def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
-    if mode == 0:
-        p = np.zeros(4, np.int32)
-        p[0] = 255
-        return p
-    if mode == 1:
-        return L
-    if mode == 2:
-        return T
-    if mode == 3:
-        return TR
-    if mode == 4:
-        return TL
-    if mode == 5:
-        return _avg2(_avg2(L, TR), T)
-    if mode == 6:
-        return _avg2(L, TL)
-    if mode == 7:
-        return _avg2(L, T)
-    if mode == 8:
-        return _avg2(TL, T)
-    if mode == 9:
-        return _avg2(T, TR)
-    if mode == 10:
-        return _avg2(_avg2(L, TL), _avg2(T, TR))
-    if mode == 11:                                  # Select
-        pfull = L.astype(np.int32) + T - TL
-        pl = int(np.abs(pfull - L).sum())
-        pt = int(np.abs(pfull - T).sum())
-        return L if pl < pt else T
-    if mode == 12:                                  # ClampAddSubtractFull
-        return np.clip(L.astype(np.int32) + T - TL, 0, 255)
-    if mode == 13:                                  # ClampAddSubtractHalf
-        a = _avg2(L, T)
-        d = a - TL
-        # C-style trunc-toward-zero halving of the (possibly negative)
-        # correction term
-        half = np.where(d >= 0, d >> 1, -((-d) >> 1))
-        return np.clip(a + half, 0, 255)
-    raise ValueError(f"WebP: bad predictor mode {mode}")
+# predictor modes whose value needs only the ALREADY-complete previous
+# row (no left-pixel dependency): vectorizable over a whole tile span
+_L_FREE_MODES = frozenset((0, 2, 3, 4, 8, 9))
 
 
 def _inv_predictor(img: np.ndarray, modes: np.ndarray,
                    hbits: int) -> None:
     """In-place inverse predictor transform, §4.2.1.1.  ``img`` is
-    (h, w, 4) int32 residuals -> pixels."""
+    (h, w, 4) int32 residuals -> pixels.
+
+    Row 0 is a cumulative sum; per later row, tile spans whose mode
+    doesn't involve the left pixel apply as one numpy slice op, and
+    left-dependent spans run a plain-int loop (no per-pixel numpy
+    temporaries — the loop body is branches and shifts on ints)."""
     h, w = img.shape[:2]
-    for y in range(h):
+    img[0, 0, 0] += 255                             # black TL seed
+    np.cumsum(img[0], axis=0, out=img[0])           # row 0 = mode L
+    img[0] &= 0xFF
+    for y in range(1, h):
         row = img[y]
-        above = img[y - 1] if y else None
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = np.zeros(4, np.int32)
-                pred[0] = 255
-            elif y == 0:
-                pred = row[x - 1]
-            elif x == 0:
-                pred = above[x]
-            else:
-                mode = int(modes[y >> hbits, x >> hbits])
-                tr = above[x + 1] if x + 1 < w else img[y - 1, 0]
-                pred = _predict(mode, row[x - 1], above[x],
-                                above[x - 1], tr)
-            row[x] = (row[x] + pred) & 0xFF
+        above = img[y - 1]
+        row[0] = (row[0] + above[0]) & 0xFF         # col 0 = mode T
+        mrow = modes[y >> hbits]
+        x = 1
+        while x < w:
+            tx = x >> hbits
+            xe = min(w, (tx + 1) << hbits)
+            mode = int(mrow[tx])
+            if mode in _L_FREE_MODES:
+                if mode == 0:
+                    row[x:xe, 0] += 255
+                    row[x:xe] &= 0xFF
+                    x = xe
+                    continue
+                if mode == 2:
+                    pred = above[x:xe]
+                elif mode == 4:
+                    pred = above[x - 1:xe - 1]
+                elif mode == 8:
+                    pred = _avg2v(above[x - 1:xe - 1], above[x:xe])
+                else:                               # 3 / 9 need TR
+                    if xe < w:
+                        tr = above[x + 1:xe + 1]
+                    else:
+                        # right-edge TR: rows are contiguous in
+                        # libwebp, so top[w] is THIS row's pixel 0
+                        # (already decoded)
+                        tr = np.concatenate(
+                            [above[x + 1:w], row[0:1]])
+                    pred = tr if mode == 3 \
+                        else _avg2v(above[x:xe], tr)
+                row[x:xe] = (row[x:xe] + pred) & 0xFF
+                x = xe
+                continue
+            if not 0 <= mode <= 13:
+                raise ValueError(f"WebP: bad predictor mode {mode}")
+            # left-dependent span: ints only
+            la, lr, lg, lb = row[x - 1].tolist()
+            ab = above[x - 1:min(xe + 1, w)].tolist()
+            if xe >= w:
+                ab.append(row[0].tolist())          # TR at edge = this
+                                                    # row's pixel 0
+            res = row[x:xe].tolist()
+            seg = []
+            for k in range(xe - x):
+                tla, tlr, tlg, tlb = ab[k]
+                ta, tr_, tg, tb = ab[k + 1]
+                if mode == 1:
+                    pa, pr, pg, pb = la, lr, lg, lb
+                elif mode == 5:
+                    ra, rr, rg, rb = ab[k + 2]
+                    pa = ((((la + ra) >> 1) + ta) >> 1)
+                    pr = ((((lr + rr) >> 1) + tr_) >> 1)
+                    pg = ((((lg + rg) >> 1) + tg) >> 1)
+                    pb = ((((lb + rb) >> 1) + tb) >> 1)
+                elif mode == 6:
+                    pa = (la + tla) >> 1
+                    pr = (lr + tlr) >> 1
+                    pg = (lg + tlg) >> 1
+                    pb = (lb + tlb) >> 1
+                elif mode == 7:
+                    pa = (la + ta) >> 1
+                    pr = (lr + tr_) >> 1
+                    pg = (lg + tg) >> 1
+                    pb = (lb + tb) >> 1
+                elif mode == 10:
+                    ra, rr, rg, rb = ab[k + 2]
+                    pa = ((((la + tla) >> 1) + ((ta + ra) >> 1)) >> 1)
+                    pr = ((((lr + tlr) >> 1) + ((tr_ + rr) >> 1)) >> 1)
+                    pg = ((((lg + tlg) >> 1) + ((tg + rg) >> 1)) >> 1)
+                    pb = ((((lb + tlb) >> 1) + ((tb + rb) >> 1)) >> 1)
+                elif mode == 11:                    # Select
+                    fa = la + ta - tla
+                    fr = lr + tr_ - tlr
+                    fg = lg + tg - tlg
+                    fb = lb + tb - tlb
+                    pl = (abs(fa - la) + abs(fr - lr)
+                          + abs(fg - lg) + abs(fb - lb))
+                    pt = (abs(fa - ta) + abs(fr - tr_)
+                          + abs(fg - tg) + abs(fb - tb))
+                    if pl < pt:
+                        pa, pr, pg, pb = la, lr, lg, lb
+                    else:
+                        pa, pr, pg, pb = ta, tr_, tg, tb
+                elif mode == 12:                    # ClampAddSubFull
+                    pa = la + ta - tla
+                    pa = 0 if pa < 0 else (255 if pa > 255 else pa)
+                    pr = lr + tr_ - tlr
+                    pr = 0 if pr < 0 else (255 if pr > 255 else pr)
+                    pg = lg + tg - tlg
+                    pg = 0 if pg < 0 else (255 if pg > 255 else pg)
+                    pb = lb + tb - tlb
+                    pb = 0 if pb < 0 else (255 if pb > 255 else pb)
+                else:                               # 13 ClampAddSubHalf
+                    aa = (la + ta) >> 1
+                    d = aa - tla
+                    pa = aa + (d >> 1 if d >= 0 else -((-d) >> 1))
+                    pa = 0 if pa < 0 else (255 if pa > 255 else pa)
+                    aa = (lr + tr_) >> 1
+                    d = aa - tlr
+                    pr = aa + (d >> 1 if d >= 0 else -((-d) >> 1))
+                    pr = 0 if pr < 0 else (255 if pr > 255 else pr)
+                    aa = (lg + tg) >> 1
+                    d = aa - tlg
+                    pg = aa + (d >> 1 if d >= 0 else -((-d) >> 1))
+                    pg = 0 if pg < 0 else (255 if pg > 255 else pg)
+                    aa = (lb + tb) >> 1
+                    d = aa - tlb
+                    pb = aa + (d >> 1 if d >= 0 else -((-d) >> 1))
+                    pb = 0 if pb < 0 else (255 if pb > 255 else pb)
+                rk = res[k]
+                la = (rk[0] + pa) & 0xFF
+                lr = (rk[1] + pr) & 0xFF
+                lg = (rk[2] + pg) & 0xFF
+                lb = (rk[3] + pb) & 0xFF
+                seg.append((la, lr, lg, lb))
+            row[x:xe] = seg
+            x = xe
 
 
 def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
