@@ -124,18 +124,24 @@ def _probe_gif(payload: bytes) -> str | None:
 
 
 def _probe_webp(payload: bytes) -> str | None:
-    """webp-vp8l / webp-vp8 / webp-vp8x from the first image chunk's
-    fourcc (pixel layout is inside the entropy-coded stream, so gray vs
-    color is not header-probeable the way GIF palettes are)."""
+    """webp-vp8l / webp-vp8 (+ ``-anim`` for VP8X/ANMF containers) from
+    the first image chunk's fourcc (pixel layout is inside the
+    entropy-coded stream, so gray vs color is not header-probeable the
+    way GIF palettes are)."""
     import struct
     pos = 12
+    anim = False
     while pos + 8 <= len(payload):
         fourcc = payload[pos:pos + 4]
         if fourcc == b"VP8L":
-            return "webp-vp8l"
+            return "webp-vp8l-anim" if anim else "webp-vp8l"
         if fourcc == b"VP8 ":
-            return "webp-vp8"
+            return "webp-vp8-anim" if anim else "webp-vp8"
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if fourcc == b"ANMF" and size > 16:
+            anim = True
+            pos += 8 + 16           # descend into the frame subchunks
+            continue
         pos += 8 + size + (size & 1)
     return None
 

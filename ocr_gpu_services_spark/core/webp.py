@@ -727,20 +727,36 @@ def vp8l_decode(data: bytes) -> np.ndarray:
 
 def webp_decode(payload: bytes) -> np.ndarray:
     """-> HxWx3 uint8 RGB from a WebP container (VP8L only; lossy VP8
-    raises — out of codec scope, row degrades to ``error``)."""
+    raises — out of codec scope, row degrades to ``error``).
+
+    Animated containers (VP8X + ANIM + ANMF) decode to their FIRST
+    frame's pixels — the representative still for feature extraction,
+    matching how crawl pipelines treat animated GIF/WebP."""
     if payload[:4] != MAGIC_RIFF or payload[8:12] != MAGIC_WEBP:
         raise ValueError("not a WebP")
-    pos = 12
     saw_lossy = False
-    while pos + 8 <= len(payload):
-        fourcc = payload[pos:pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8:pos + 8 + size]
-        if fourcc == b"VP8L":
-            return vp8l_decode(body)
-        if fourcc == b"VP8 ":
-            saw_lossy = True
-        pos += 8 + size + (size & 1)
+
+    def scan(buf: bytes, pos: int, end: int):
+        nonlocal saw_lossy
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            if fourcc == b"VP8L":
+                return buf[pos + 8:pos + 8 + size]
+            if fourcc == b"VP8 ":
+                saw_lossy = True
+            if fourcc == b"ANMF" and size > 16:
+                # 16-byte frame header (x/2, y/2, w-1, h-1, duration,
+                # flags), then the frame's own image subchunks
+                sub = scan(buf, pos + 8 + 16, min(pos + 8 + size, end))
+                if sub is not None:
+                    return sub
+            pos += 8 + size + (size & 1)
+        return None
+
+    body = scan(payload, 12, len(payload))
+    if body is not None:
+        return vp8l_decode(body)
     if saw_lossy:
         raise ValueError("WebP: lossy VP8 bitstream unsupported "
                          "(lossless VP8L only)")
@@ -814,10 +830,14 @@ def _write_single_tree(bw: _BitWriter, symbol: int) -> None:
         bw.write(symbol, 8)
 
 
-def vp8l_encode(img: np.ndarray) -> bytes:
+def vp8l_encode(img: np.ndarray, animated: bool = False) -> bytes:
     """Minimal deterministic VP8L stream for the fixture generator: no
     transforms, no cache, literal-only codes (decodes with any
-    conformant reader — pinned against libwebp in tests)."""
+    conformant reader — pinned against libwebp in tests).
+
+    ``animated=True`` wraps the same pixels as a single-frame animation
+    (VP8X + ANIM + ANMF container) so fixture rows exercise the
+    animated-crawl decode path with byte-identical extraction."""
     if img.ndim == 2:
         rgb = np.stack([img] * 3, axis=2)
     else:
@@ -852,7 +872,26 @@ def vp8l_encode(img: np.ndarray) -> bytes:
     chunk = bw.done()
     if len(chunk) & 1:
         chunk += b"\x00"
-    riff = (MAGIC_RIFF + struct.pack("<I", 4 + 8 + len(chunk))
-            + MAGIC_WEBP + b"VP8L" + struct.pack("<I", len(chunk))
-            + chunk)
-    return riff
+    vp8l = b"VP8L" + struct.pack("<I", len(chunk)) + chunk
+    if not animated:
+        return (MAGIC_RIFF + struct.pack("<I", 4 + len(vp8l))
+                + MAGIC_WEBP + vp8l)
+    # VP8X flags: bit 1 = animation; canvas dims as width-1/height-1
+    # 24-bit LE
+    vp8x = (b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0])
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little"))
+    anim = (b"ANIM" + struct.pack("<I", 6)
+            + struct.pack("<IH", 0xFFFFFFFF, 0))   # white bg, loop 0
+    frame_hdr = (b"\x00" * 6                        # frame x/2, y/2 = 0
+                 + (w - 1).to_bytes(3, "little")
+                 + (h - 1).to_bytes(3, "little")
+                 + (100).to_bytes(3, "little")      # duration ms
+                 + b"\x00")                         # flags
+    anmf_body = frame_hdr + vp8l
+    anmf = b"ANMF" + struct.pack("<I", len(anmf_body)) + anmf_body
+    if len(anmf) & 1:
+        anmf += b"\x00"
+    payload = vp8x + anim + anmf
+    return (MAGIC_RIFF + struct.pack("<I", 4 + len(payload))
+            + MAGIC_WEBP + payload)

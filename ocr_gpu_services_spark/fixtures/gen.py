@@ -321,7 +321,10 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
     # coverage the other fixture tests pin.
     wrng = random.Random(f"webp4:{i}") if allow_jpeg else None
     if wrng is not None and not as_jpeg and wrng.random() < 0.18:
-        container = "webp"
+        # ~30% of WebP rows ship as single-frame ANIMATIONS (VP8X +
+        # ANIM + ANMF) — the animated-crawl container shape; first
+        # frame = the whole page, so pixels and goldens are identical
+        container = "webp-anim" if wrng.random() < 0.30 else "webp"
         big_endian = None
     # BILEVEL rows: every correctness-scale page whose render is
     # provably two-valued (no scanner bed, no perspective capture — the
@@ -430,9 +433,9 @@ def _encode_bilevel(img, kind: str) -> bytes:
 def _encode_container(img, kind: str, big_endian: bool | None) -> bytes:
     """BMP / TIFF fixture container for a gray (HxW) or RGB (HxWx3)
     render — all lossless, so extraction is byte-identical to PNG."""
-    if kind == "webp":
+    if kind in ("webp", "webp-anim"):
         from ..core.webp import vp8l_encode
-        return vp8l_encode(img)
+        return vp8l_encode(img, animated=kind == "webp-anim")
     if kind in ("gif", "gif-i"):
         from ..core.gif import gif_encode
         return gif_encode(img, interlace=kind == "gif-i")
@@ -539,15 +542,19 @@ def image_row_format(rng: random.Random, i: int,
         gif = "-i" if grng.random() < 0.30 else ""
     # the "webp4" override (mirrors _image_page exactly); the header
     # probe can only see the container + VP8L chunk, so gray and color
-    # rows share the one label
-    webp = (at_corr_scale
-            and random.Random(f"webp4:{i}").random() < 0.18)
+    # rows share a label, split only by the animated-container draw
+    webp = None
+    if at_corr_scale:
+        wrng = random.Random(f"webp4:{i}")
+        if wrng.random() < 0.18:
+            webp = ("webp-vp8l-anim" if wrng.random() < 0.30
+                    else "webp-vp8l")
     _comp_label = {"tiff": "", "tiff-packbits": "-packbits",
                    "tiff-lzw": "-lzw", "tiff-lzw-pred": "-lzw"}
     if colorize:
         v = crng.random()
-        if webp:
-            return "webp-vp8l"
+        if webp is not None:
+            return webp
         if gif is not None:
             return "gif-rgb" + gif
         if container == "bmp":
@@ -566,8 +573,8 @@ def image_row_format(rng: random.Random, i: int,
                 "tiff-bilevel-g4")[
             random.Random(f"fax15:{i}").randrange(4)]
     graya = crng is not None and crng.random() < 0.25
-    if webp:
-        return "webp-vp8l"
+    if webp is not None:
+        return webp
     if gif is not None:
         return "gif-gray" + gif
     if container == "bmp":

@@ -214,6 +214,26 @@ def test_distance_map_matches_libwebp():
 # container / error paths
 # ---------------------------------------------------------------------------
 
+def test_animated_first_frame():
+    g = _rs.randint(0, 256, (21, 33)).astype(np.uint8)
+    payload = webp.vp8l_encode(g, animated=True)
+    assert payload[12:16] == b"VP8X"
+    assert sniff_content_type(payload, None) == "image"
+    assert probe_image_format(payload) == "webp-vp8l-anim"
+    out = webp.webp_decode(payload)
+    assert np.array_equal(out[:, :, 0], g)
+    assert np.array_equal(decode_image(payload), g)
+    # animated container carrying only a lossy frame still rejects
+    lossy_anmf = (b"ANMF" + struct.pack("<I", 16 + 12)
+                  + b"\x00" * 16
+                  + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    riff = (b"RIFF" + struct.pack("<I", 4 + len(lossy_anmf)) + b"WEBP"
+            + lossy_anmf)
+    with pytest.raises(ValueError, match="lossy"):
+        webp.webp_decode(riff)
+    assert probe_image_format(riff) == "webp-vp8-anim"
+
+
 def test_lossy_and_garbage_rejected():
     lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
              + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
