@@ -11,10 +11,10 @@ color cache, meta-prefix (spatially varying) code groups, and the
 LZ77 backward references with the 2D distance map — i.e. everything
 libwebp's lossless encoder emits at any quality/effort setting.
 
-Lossy VP8 is a full video intra-frame codec (boolean arithmetic
-coder, DCT, loop filter) and is out of scope by design: lossy rows
-raise ValueError and degrade to the ``error`` column
-(core/extract.py convention), visible rather than silent.
+Lossy VP8 — the dominant WebP flavor in real crawls — decodes via
+core/vp8.py (a from-scratch RFC 6386 intra-frame decoder, pinned
+byte-exact against libwebp at both the YUV and fancy-upsampled RGB
+stages); this module routes the container chunk there.
 
 Performance shape (same playbook as core/jpeg.py): fixed-stride
 literal-only streams (the shape vp8l_encode emits) decode fully
@@ -726,25 +726,22 @@ def vp8l_decode(data: bytes) -> np.ndarray:
 
 
 def webp_decode(payload: bytes) -> np.ndarray:
-    """-> HxWx3 uint8 RGB from a WebP container (VP8L only; lossy VP8
-    raises — out of codec scope, row degrades to ``error``).
+    """-> HxWx3 uint8 RGB from a WebP container: lossless VP8L (this
+    module) or lossy VP8 key frames (core/vp8.py, byte-identical to
+    libwebp's fancy-upsampled RGB output).
 
     Animated containers (VP8X + ANIM + ANMF) decode to their FIRST
     frame's pixels — the representative still for feature extraction,
     matching how crawl pipelines treat animated GIF/WebP."""
     if payload[:4] != MAGIC_RIFF or payload[8:12] != MAGIC_WEBP:
         raise ValueError("not a WebP")
-    saw_lossy = False
 
     def scan(buf: bytes, pos: int, end: int):
-        nonlocal saw_lossy
         while pos + 8 <= end:
             fourcc = buf[pos:pos + 4]
             size = struct.unpack_from("<I", buf, pos + 4)[0]
-            if fourcc == b"VP8L":
-                return buf[pos + 8:pos + 8 + size]
-            if fourcc == b"VP8 ":
-                saw_lossy = True
+            if fourcc in (b"VP8L", b"VP8 "):
+                return fourcc, buf[pos + 8:pos + 8 + size]
             if fourcc == b"ANMF" and size > 16:
                 # 16-byte frame header (x/2, y/2, w-1, h-1, duration,
                 # flags), then the frame's own image subchunks
@@ -754,13 +751,14 @@ def webp_decode(payload: bytes) -> np.ndarray:
             pos += 8 + size + (size & 1)
         return None
 
-    body = scan(payload, 12, len(payload))
-    if body is not None:
+    found = scan(payload, 12, len(payload))
+    if found is None:
+        raise ValueError("WebP: no image chunk found")
+    fourcc, body = found
+    if fourcc == b"VP8L":
         return vp8l_decode(body)
-    if saw_lossy:
-        raise ValueError("WebP: lossy VP8 bitstream unsupported "
-                         "(lossless VP8L only)")
-    raise ValueError("WebP: no image chunk found")
+    from .vp8 import vp8_decode
+    return vp8_decode(body)
 
 
 # -------------------------------------------------------------- encoder

@@ -223,21 +223,25 @@ def test_animated_first_frame():
     out = webp.webp_decode(payload)
     assert np.array_equal(out[:, :, 0], g)
     assert np.array_equal(decode_image(payload), g)
-    # animated container carrying only a lossy frame still rejects
+    # animated container with a garbage lossy frame: degrades, and the
+    # probe still labels it (a real VP8 frame would decode via
+    # core/vp8.py — tests/test_vp8.py pins that path)
     lossy_anmf = (b"ANMF" + struct.pack("<I", 16 + 12)
                   + b"\x00" * 16
                   + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
     riff = (b"RIFF" + struct.pack("<I", 4 + len(lossy_anmf)) + b"WEBP"
             + lossy_anmf)
-    with pytest.raises(ValueError, match="lossy"):
+    with pytest.raises(ValueError):
         webp.webp_decode(riff)
     assert probe_image_format(riff) == "webp-vp8-anim"
 
 
 def test_lossy_and_garbage_rejected():
+    # a VP8 chunk too short to hold a frame header degrades (real
+    # lossy frames decode — core/vp8.py, pinned in tests/test_vp8.py)
     lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
              + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
-    with pytest.raises(ValueError, match="lossy"):
+    with pytest.raises(ValueError):
         webp.webp_decode(lossy)
     assert probe_image_format(lossy) == "webp-vp8"
     with pytest.raises(ValueError):
