@@ -316,9 +316,11 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
     # extraction and goldens are byte-identical to the PNG twin.  Side
     # rng stream "webp4" OVERRIDES the rast1/gif1 container draws
     # (bilevel-provable gray rows still win, same precedence as ever);
-    # the salt is chosen so tiny keeps >=1 gray + >=1 color WebP row
+    # the salt is chosen so tiny keeps >=2 VP8L rows (one animated)
     # WITHOUT displacing the gif gray/rgb/interlaced or bmp/tiff
-    # coverage the other fixture tests pin.
+    # coverage the other fixture tests pin (the vp8w5 lossy stream
+    # below takes tiny's gray VP8L row — gray VP8L still lands in
+    # small).
     wrng = random.Random(f"webp4:{i}") if allow_jpeg else None
     if wrng is not None and not as_jpeg and wrng.random() < 0.18:
         # ~30% of WebP rows ship as single-frame ANIMATIONS (VP8X +
@@ -407,7 +409,22 @@ def _image_page(rng: random.Random, i: int, allow_jpeg: bool = False
         return png_encode_rgba(rgb)
     if bilevel_kind is not None:
         return _encode_bilevel(img, bilevel_kind)
-    if crng is not None and crng.random() < 0.25:
+    graya = crng is not None and crng.random() < 0.25
+    # ~15% of correctness-scale gray non-JPEG non-bilevel rows ship as
+    # LOSSY WebP (VP8 key frames — core/vp8_write.py, q_index-0 closed
+    # loop over the decoder's own primitives): decoded pixels sit
+    # within <=4 gray levels of the render, verified to keep
+    # extraction byte-identical on every tiny/small image row, so
+    # goldens never move.  Side stream "vp8w5": the salt keeps the
+    # pinned gif/tiff/png tiny coverage AND picks a small-render row
+    # (73k px) so the bench-visible multimodal decode of tiny stays
+    # cheap.  Overrides the lossless containers; all prior rng draws
+    # are consumed exactly as before.
+    if (allow_jpeg and not as_jpeg
+            and random.Random(f"vp8w5:{i}").random() < 0.15):
+        from ..core.vp8_write import vp8_encode_gray
+        return vp8_encode_gray(img)
+    if graya:
         if container is not None:
             return _encode_container(img, container, big_endian)
         # gray+alpha PNG (color type 4): decode drops alpha, pixels and
@@ -497,6 +514,15 @@ def image_row_pixels(rng: random.Random, i: int,
                 unapply_exif_orientation(img, exif)))
             return apply_exif_orientation(out, exif)
         return jpeg_decode(jpeg_encode(img))
+    # lossy VP8 rows (mirrors _image_page's vp8w5 stream, which applies
+    # only to gray non-bilevel rows): post-codec pixels are
+    # encode -> decode -> gray, exactly the decode-seam order
+    if (at_corr_scale and not colorize
+            and not (plan["bed"] is None and plan["persp"] is None)
+            and random.Random(f"vp8w5:{i}").random() < 0.15):
+        from ..core.extract import decode_image
+        from ..core.vp8_write import vp8_encode_gray
+        return decode_image(vp8_encode_gray(img))
     # color PNG variants are lossless AND luma-exact by construction, so
     # the post-codec pixels equal the gray render exactly
     return img
@@ -573,6 +599,10 @@ def image_row_format(rng: random.Random, i: int,
                 "tiff-bilevel-g4")[
             random.Random(f"fax15:{i}").randrange(4)]
     graya = crng is not None and crng.random() < 0.25
+    # the "vp8w5" lossy override (mirrors _image_page exactly)
+    if (at_corr_scale
+            and random.Random(f"vp8w5:{i}").random() < 0.15):
+        return "webp-vp8"
     if webp is not None:
         return webp
     if gif is not None:

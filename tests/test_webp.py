@@ -270,16 +270,20 @@ def test_adversarial_payloads_degrade_never_crash():
 
 
 def test_fixture_rows_in_tiny():
-    """The webp1 side stream must land rows in the gate corpus: tiny
-    carries >=1 gray and >=1 colorized VP8L row, decoded by the kernel
-    with goldens byte-identical (enforced by test_registry's golden
-    check; here we pin presence and decodability)."""
+    """The webp4/vp8w5 side streams must land rows in the gate corpus:
+    tiny carries lossless VP8L (incl. an animated container) AND a
+    lossy VP8 row, all decoded by the kernel with goldens
+    byte-identical (enforced by test_registry's golden check; here we
+    pin presence and decodability)."""
     from ocr_gpu_services_spark.fixtures.gen import gen_rows
-    n = 0
+    fmts = []
     for r in gen_rows("tiny"):
         p = r["html"]
         if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
-            n += 1
+            fmts.append(probe_image_format(bytes(p)))
             img = decode_image(bytes(p))
             assert img.ndim == 2 and img.size > 0
-    assert n >= 2
+    assert len(fmts) >= 3
+    assert any(f == "webp-vp8l" for f in fmts)
+    assert any(f.endswith("-anim") for f in fmts)
+    assert any(f == "webp-vp8" for f in fmts)
