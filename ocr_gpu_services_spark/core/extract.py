@@ -69,6 +69,14 @@ def decode_image(payload: bytes):
     elif payload[:4] == b"RIFF":
         from .webp import webp_decode
         img = webp_decode(payload)
+    elif len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # sniffed as image so the row degrades cleanly (AV1/HEVC
+        # intra decode is out of codec scope)
+        raise ValueError(
+            f"unsupported ISO-BMFF still image "
+            f"({payload[8:12].decode('ascii', 'replace')})")
+    elif payload[:2] == b"\xff\x0a" or payload[4:8] == b"JXL ":
+        raise ValueError("unsupported JPEG XL image")
     else:
         img = png_decode(payload)
     if img.ndim == 3:

@@ -45,6 +45,17 @@ def sniff_content_type(payload: bytes | None, text: str | None) -> str:
         return CT_IMAGE
     if payload[:4] == MAGIC_RIFF and payload[8:12] == MAGIC_WEBP:
         return CT_IMAGE
+    # ISO-BMFF stills (AVIF/HEIC) and JPEG XL: classify as image so
+    # the row lands in the ``error`` column (decode seam raises a
+    # clear unsupported-codec error) instead of running binary bytes
+    # through the HTML extractor
+    if len(payload) >= 12 and payload[4:8] == b"ftyp" \
+            and payload[8:12] in (b"avif", b"avis", b"heic", b"heix",
+                                  b"heif", b"mif1", b"msf1"):
+        return CT_IMAGE
+    if payload[:2] == b"\xff\x0a" \
+            or payload[:12] == b"\x00\x00\x00\x0cJXL \r\n\x87\n":
+        return CT_IMAGE
     # "BM" alone is two ASCII letters any text can start with; require
     # the BITMAPINFOHEADER size field (offset 14, little-endian) too
     if payload[:2] == MAGIC_BMP and len(payload) >= 18 \

@@ -25,6 +25,12 @@ _HEX_GIF87 = "474946383761"      # GIF87a
 _HEX_GIF89 = "474946383961"      # GIF89a
 _HEX_RIFF = "52494646"           # RIFF
 _HEX_WEBP = "57454250"           # WEBP (container fourcc at offset 8)
+_HEX_FTYP = "66747970"           # "ftyp" box at offset 4
+_HEX_BMFF_BRANDS = ["61766966", "61766973", "68656963", "68656978",
+                    "68656966", "6D696631", "6D736631"]
+# avif avis heic heix heif mif1 msf1
+_HEX_JXL_RAW = "FF0A"            # bare JPEG XL codestream
+_HEX_JXL_BOX = "0000000C4A584C200D0A870A"
 
 
 def content_type_col(html: str = "html", text: str = "text") -> Column:
@@ -44,6 +50,15 @@ def content_type_col(html: str = "html", text: str = "text") -> Column:
                F.lit(CT_IMAGE))
          .when((F.hex(F.substring(h, 1, 4)) == _HEX_RIFF)
                & (F.hex(F.substring(h, 9, 4)) == _HEX_WEBP),
+               F.lit(CT_IMAGE))
+         # ISO-BMFF stills (AVIF/HEIC) + JPEG XL: error-column rows
+         .when((F.hex(F.substring(h, 5, 4)) == _HEX_FTYP)
+               & F.hex(F.substring(h, 9, 4)).isin(*_HEX_BMFF_BRANDS)
+               & (F.octet_length(h) >= 12),
+               F.lit(CT_IMAGE))
+         .when(F.hex(F.substring(h, 1, 2)) == _HEX_JXL_RAW,
+               F.lit(CT_IMAGE))
+         .when(F.hex(F.substring(h, 1, 12)) == _HEX_JXL_BOX,
                F.lit(CT_IMAGE))
          # "BM" alone is plain ASCII; require the DIB header size too
          # (core/sniff.py keeps the identical rule)

@@ -32,6 +32,26 @@ def test_sniff_magic_bytes():
     assert sniff_content_type(b"", None) == "unknown"
 
 
+def test_sniff_modern_stills_reject_cleanly():
+    """AVIF/HEIC (ISO-BMFF) and JPEG XL payloads classify as image and
+    degrade to the error column — binary bytes must never run through
+    the HTML extractor as if they were markup."""
+    from ocr_gpu_services_spark.core.extract import extract_document
+    avif = b"\x00\x00\x00\x1cftypavif" + b"\x00" * 24
+    heic = b"\x00\x00\x00\x18ftypheic" + b"\x00" * 16
+    jxl_raw = b"\xff\x0a" + b"\x12" * 40
+    jxl_box = b"\x00\x00\x00\x0cJXL \r\n\x87\n" + b"\x00" * 20
+    for payload, tag in ((avif, "avif"), (heic, "heic"),
+                         (jxl_raw, "JPEG XL"), (jxl_box, "JPEG XL")):
+        assert sniff_content_type(payload, None) == "image", tag
+        ct, text, spans, _dt, _c, err = extract_document(payload, None)
+        assert ct == "image" and text == "" and spans == []
+        assert err is not None and tag in err, (tag, err)
+    # a RIFF/WAVE (non-WebP) payload is NOT an image
+    assert sniff_content_type(b"RIFF\x10\x00\x00\x00WAVEdata", None) \
+        == "html"
+
+
 # --- normalize (P12) --------------------------------------------------------
 
 def test_normalize_nfc_and_ws():

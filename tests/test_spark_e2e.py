@@ -478,3 +478,42 @@ def test_snapshot_read_as_of_and_by_run(spark, tmp_path):
     _os.remove(victim)
     with pytest.raises(FileNotFoundError):
         table.read_as_of(spark, run_id=m["run_id"]).count()
+
+
+def test_sniff_twins_agree_on_every_magic(spark):
+    """S2: the JVM column expression and the pure-Python sniffer are
+    twins — one battery of crafted payloads covering every magic
+    (incl. the AVIF/HEIC/JXL reject-to-error classes and the
+    lookalike traps) must classify identically through both."""
+    from ocr_gpu_services_spark.core.sniff import sniff_content_type
+    from ocr_gpu_services_spark.operators.sniff import content_type_col
+
+    payloads = [
+        b"%PDF-1.7 stub",
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8,
+        b"\xff\xd8\xff\xe0JFIF",
+        b"II*\x00" + b"\x00" * 8,
+        b"MM\x00*" + b"\x00" * 8,
+        b"GIF87a" + b"\x00" * 8,
+        b"GIF89a" + b"\x00" * 8,
+        b"BM" + b"\x00" * 12 + b"\x28\x00\x00\x00" + b"\x00" * 8,
+        b"BMoving text, not a bitmap",           # BM without DIB header
+        b"RIFF\x10\x00\x00\x00WEBPVP8L\x00\x00\x00\x00",
+        b"RIFF\x10\x00\x00\x00WAVEdata",         # RIFF, not WebP
+        b"\x00\x00\x00\x1cftypavif" + b"\x00" * 16,
+        b"\x00\x00\x00\x18ftypheix" + b"\x00" * 16,
+        b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16,   # video, not still
+        b"\xff\x0a" + b"\x11" * 16,
+        b"\x00\x00\x00\x0cJXL \r\n\x87\n" + b"\x00" * 8,
+        b"<html><body>hi</body></html>",
+        b"",
+        None,
+    ]
+    rows = [(k, p, "txt" if p in (b"", None) else None)
+            for k, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "k int, html binary, text string") \
+        .withColumn("ct", content_type_col())
+    got = {r["k"]: r["ct"] for r in df.collect()}
+    for k, p in enumerate(payloads):
+        want = sniff_content_type(p, "txt" if p in (b"", None) else None)
+        assert got[k] == want, (k, p[:16] if p else p, got[k], want)
