@@ -207,14 +207,24 @@ def ocr_page(img: np.ndarray, atlas: np.ndarray, charset: str,
     # argmax/max equal the old int32 path bit-for-bit.
     blank = ~flat.any(axis=1)
     nb_idx = np.nonzero(~blank)[0]
-    ff = flat[nb_idx].astype(np.float32)
+    # duplicate-cell collapse: a page's nonblank cells draw from a small
+    # glyph population, so most rows of the (nnb, K) matmul are repeats.
+    # Pack each 64-bit cell into one uint64, unique it, match only the
+    # representatives, and scatter through the inverse map — identical
+    # input rows produce identical float rows, hence identical
+    # argmax/max, so the scattered values are bit-for-bit the full
+    # computation's (typically ~50x fewer matmul rows).
+    nb_cells = flat[nb_idx]
+    keys = np.packbits(nb_cells, axis=1).view(np.uint64).ravel()
+    _, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+    fu = nb_cells[first].astype(np.float32)
     af, a_sum = _atlas_f32(atlas)
-    agree = (64.0 - ff.sum(axis=1)[:, None] - a_sum[None, :]
-             + 2.0 * (ff @ af.T))                             # (nnb, K)
+    agree = (64.0 - fu.sum(axis=1)[:, None] - a_sum[None, :]
+             + 2.0 * (fu @ af.T))                             # (nuniq, K)
     best = np.zeros(flat.shape[0], dtype=np.int64)
     conf = np.zeros(flat.shape[0], dtype=np.float64)
-    best[nb_idx] = agree.argmax(axis=1)
-    conf[nb_idx] = agree.max(axis=1).astype(np.float64) / 64.0
+    best[nb_idx] = agree.argmax(axis=1)[inv]
+    conf[nb_idx] = (agree.max(axis=1).astype(np.float64) / 64.0)[inv]
 
     # vectorized decode: byte-LUT the glyph indices (charset is ASCII),
     # blank cells become spaces, and the page text is ONE bytes->str
