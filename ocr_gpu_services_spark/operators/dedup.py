@@ -463,15 +463,26 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
               .localCheckpoint(eager=True))
     converged = False
     for it in range(max_iters):
-        # neighbor minimum: my label next round = min(mine, neighbors')
+        # neighbor minimum AND previous label in ONE wide shuffle: union
+        # the neighbor-label stream (edges join: only the small labels
+        # side exchanges — edges ride their cached partitioning) with a
+        # tagged self-label stream, then a single groupBy(doc_id) reads
+        # prev_lab off the self row and the new label as the overall min.
+        # This replaces the former groupBy-then-left-join-back shape
+        # (2 shuffles + 3 stage barriers per round) with 1 shuffle +
+        # 2 barriers — at cluster scale the per-round exchange count is
+        # the cost of an iterative operator.  Every node appears in the
+        # self stream, so the left-join semantics (isolated-label nodes
+        # keep their label) are preserved and prev_lab is never null.
         nbr = (edges.join(labels, edges.a == labels.doc_id)
-               .groupBy(F.col("b").alias("doc_id"))
-               .agg(F.min("lab").alias("nlab")))
-        mid = (labels.join(nbr, "doc_id", "left")
-               .select("doc_id",
-                       F.col("lab").alias("prev_lab"),
-                       F.least("lab", F.coalesce("nlab", "lab"))
-                        .alias("mlab")))
+               .select(F.col("b").alias("doc_id"), "lab",
+                       F.lit(False).alias("is_self")))
+        slf = labels.select("doc_id", "lab", F.lit(True).alias("is_self"))
+        mid = (slf.unionByName(nbr)
+               .groupBy("doc_id")
+               .agg(F.min(F.when(F.col("is_self"), F.col("lab")))
+                     .alias("prev_lab"),
+                    F.min("lab").alias("mlab")))
         if it == 0:
             # dup graphs are overwhelmingly shallow (cliques / short
             # chains): the init already propagated one hop, so round 0
