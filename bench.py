@@ -126,6 +126,26 @@ def main():
     docs_per_sec = round(n_docs / t_extract, 2)
 
     qtimes = {}
+    # headline-only mode for quiet-window redraws on the shared host:
+    # the full 50-query sweep takes ~14 min, long enough that outside
+    # tenant load usually wakes mid-run and poisons the later numbers;
+    # with the flag set the run exposes only the ~3-minute headline
+    # (and the load-immune kernel anchor) to the quiet window.
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        print(json.dumps({
+            "metric": "docs_per_sec_extraction",
+            "value": docs_per_sec,
+            "unit": "sec",
+            "extract_wall_s": round(t_extract, 3),
+            "extract_docs": n_docs,
+            "extract_chars": int(out["chars"]),
+            "kernel_cpu_ms_per_doc": kernel_ms,
+            "queries": {},
+            "sf": sf_dir.rstrip("/").split("sf")[-1],
+            "cores": cpus,
+        }))
+        spark.stop()
+        return
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best = None
