@@ -80,6 +80,33 @@ def _kernel_cpu_ms_per_doc(pages_dir: str, sample: int = 2000) -> float:
     return round(best / len(rows) * 1e3, 4)
 
 
+def _spin_calib(cores: int, seconds: float = 2.0) -> float:
+    """Aggregate pure-CPU spin throughput of `cores` processes (it/s).
+
+    Embedded in the output JSON so any reader can normalize the wall
+    headline by the hardware the host actually delivered during the
+    run: this sandbox VM is shared — post-reboot forensics (see
+    BENCH/BASELINE.md) measured 32 vCPUs delivering only ~17.8 cores'
+    worth (host-level SMT sharing, invisible to loadavg and steal) —
+    so identical code can read 6k or 18k docs/s on different days.
+    Historical anchors: ~6.25M it/s 1-core, ~200M it/s 32-core."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.time()
+        x = 0
+        while time.time() - t0 < seconds:
+            x += 1
+        q.put(x)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(cores)]
+    [p.start() for p in ps]
+    total = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+    return round(total / seconds, 0)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -97,6 +124,7 @@ def main():
     # headline ≈ 1000/kernel_ms_per_doc * effective_cores; the spin-loop
     # calibration in tools/bench_scaling.py measures effective_cores.
     kernel_ms = _kernel_cpu_ms_per_doc(pages_cache)
+    calib = {"1": _spin_calib(1), str(cpus): _spin_calib(cpus)}
 
     spark = get_spark(app="bench", cores=cpus, shuffle_partitions=128)
 
@@ -140,6 +168,7 @@ def main():
             "extract_docs": n_docs,
             "extract_chars": int(out["chars"]),
             "kernel_cpu_ms_per_doc": kernel_ms,
+            "calib_spin_iters_per_s": calib,
             "queries": {},
             "sf": sf_dir.rstrip("/").split("sf")[-1],
             "cores": cpus,
@@ -165,6 +194,7 @@ def main():
         "extract_docs": n_docs,
         "extract_chars": int(out["chars"]),
         "kernel_cpu_ms_per_doc": kernel_ms,
+            "calib_spin_iters_per_s": calib,
         "queries": qtimes,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cores": cpus,
