@@ -168,6 +168,7 @@ def main():
             "extract_docs": n_docs,
             "extract_chars": int(out["chars"]),
             "kernel_cpu_ms_per_doc": kernel_ms,
+            "kernel_ideal_docs_per_sec": round(cpus * 1000.0 / kernel_ms, 2),
             "calib_spin_iters_per_s": calib,
             "queries": {},
             "sf": sf_dir.rstrip("/").split("sf")[-1],
@@ -194,6 +195,7 @@ def main():
         "extract_docs": n_docs,
         "extract_chars": int(out["chars"]),
         "kernel_cpu_ms_per_doc": kernel_ms,
+            "kernel_ideal_docs_per_sec": round(cpus * 1000.0 / kernel_ms, 2),
             "calib_spin_iters_per_s": calib,
         "queries": qtimes,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
