@@ -259,19 +259,29 @@ def _c128_parse_runs(runs: np.ndarray) -> str | None:
     return _c128_text(vals[:-1])
 
 
-def try_decode_code128(crop: np.ndarray) -> str | None:
-    """Decode an upright Code 128 crop (joint bbox of its bars) from its
-    middle scanline's run lengths.  Tries both scan directions."""
+def _middle_scanline_runs(crop: np.ndarray) -> np.ndarray | None:
+    """Run lengths of the middle scanline, trimmed to first/last ink
+    (threshold < 128), alternating bar,space,...,bar — the shared
+    preamble of every run-length symbology here."""
     h, w = crop.shape
-    if h < 3 or w < 41:          # >= 4 symbols + stop at 1px modules
-        return None
     line = crop[h // 2] < 128
     on = np.nonzero(line)[0]
     if on.size == 0:
         return None
     seg = line[on[0]:on[-1] + 1]
     edges = np.nonzero(np.diff(seg.astype(np.int8)))[0]
-    runs = np.diff(np.concatenate(([0], edges + 1, [seg.size])))
+    return np.diff(np.concatenate(([0], edges + 1, [seg.size])))
+
+
+def try_decode_code128(crop: np.ndarray) -> str | None:
+    """Decode an upright Code 128 crop (joint bbox of its bars) from its
+    middle scanline's run lengths.  Tries both scan directions."""
+    h, w = crop.shape
+    if h < 3 or w < 41:          # >= 4 symbols + stop at 1px modules
+        return None
+    runs = _middle_scanline_runs(crop)
+    if runs is None:
+        return None
     got = _c128_parse_runs(runs)
     if got is None:
         got = _c128_parse_runs(runs[::-1])
@@ -366,13 +376,9 @@ def try_decode_code39(crop: np.ndarray) -> str | None:
     h, w = crop.shape
     if h < 3 or w < 29:
         return None
-    line = crop[h // 2] < 128
-    on = np.nonzero(line)[0]
-    if on.size == 0:
+    runs = _middle_scanline_runs(crop)
+    if runs is None:
         return None
-    seg = line[on[0]:on[-1] + 1]
-    edges = np.nonzero(np.diff(seg.astype(np.int8)))[0]
-    runs = np.diff(np.concatenate(([0], edges + 1, [seg.size])))
     got = _c39_parse_runs(runs)
     if got is None:
         got = _c39_parse_runs(runs[::-1])

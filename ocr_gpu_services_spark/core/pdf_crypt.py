@@ -232,7 +232,7 @@ def decrypt_payload(key: bytes, num: int, gen: int, data: bytes,
 # ---------------------------------------------------------------- parse
 
 _ENC_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
-_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_ID_OPEN_RE = re.compile(rb"/ID\s*\[")
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
@@ -302,6 +302,26 @@ def _int_after(body: bytes, name: bytes, default: int | None = None):
     return int(m.group(1)) if m else default
 
 
+def _without_cf_dict(enc_body: bytes) -> bytes:
+    """The /Encrypt dict body with the /CF << ... >> subdictionary span
+    removed (balanced << >> scan), so top-level key searches cannot
+    first-match entries inside a crypt-filter dict."""
+    m = re.search(rb"/CF\s*<<", enc_body)
+    if not m:
+        return enc_body
+    depth, k = 1, m.end()
+    while k < len(enc_body) - 1 and depth:
+        if enc_body[k:k + 2] == b"<<":
+            depth += 1
+            k += 2
+        elif enc_body[k:k + 2] == b">>":
+            depth -= 1
+            k += 2
+        else:
+            k += 1
+    return enc_body[:m.start()] + enc_body[k:]
+
+
 def decrypt_pdf(data: bytes) -> bytes:
     """Return the decrypted-equivalent file, or ``data`` unchanged when
     no /Encrypt is present.  Raises ValueError for unsupported schemes
@@ -330,8 +350,12 @@ def decrypt_pdf(data: bytes) -> bytes:
     p = _int_after(enc_body, b"/P")
     if o is None or u is None or p is None:
         raise ValueError("encrypted PDF: malformed /Encrypt dictionary")
-    idm = _ID_RE.search(tail)
-    id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    # first /ID array element: a PDF string in EITHER form — hex <...>
+    # is customary but literal (...) is equally legal (§7.3.4 defines ID
+    # entries as byte strings); _string_after with an empty name parses
+    # whichever form follows the bracket
+    idm = _ID_OPEN_RE.search(tail)
+    id0 = (_string_after(tail[idm.end():], b"") or b"") if idm else b""
 
     if v in (1, 2) and r in (2, 3):
         scheme = "rc4"
@@ -353,7 +377,13 @@ def decrypt_pdf(data: bytes) -> bytes:
             raise ValueError(f"unsupported PDF crypt method {cfm!r}")
         scheme = "rc4" if cfm == b"V2" else "aesv2"
         em = not re.search(rb"/EncryptMetadata\s+false", enc_body)
-        nbits = _int_after(enc_body, b"/Length", 128)
+        # top-level /Length is the key size in BITS; the crypt-filter
+        # subdictionary carries its own /Length in BYTES (/CF << /StdCF
+        # << /CFM /AESV2 /Length 16 >> >>), and writers that order /CF
+        # before /Length would otherwise win the first-match search and
+        # derive a 5-byte key — strip the balanced /CF << .. >> span
+        # before looking
+        nbits = _int_after(_without_cf_dict(enc_body), b"/Length", 128)
         nbytes = max(5, min(16, nbits // 8))
         key = file_key(o, p, id0, r, nbytes, encrypt_metadata=em)
         if not verify_user_password(u, key, id0, r):
@@ -379,7 +409,12 @@ def decrypt_pdf(data: bytes) -> bytes:
             start, length = loc
             plain = rc4(object_key(key, num, gen),
                         bytes(body[start:start + length]))
-            out[bstart + start:bstart + start + length] = plain
+            # splice exactly len(plain) bytes: when a malformed /Length
+            # overstates the bytes present, the slice is shorter than
+            # `length`, and assigning it over the full `length` window
+            # would SHRINK the bytearray — shifting every later object's
+            # precomputed bstart offset and corrupting the whole tail
+            out[bstart + start:bstart + start + len(plain)] = plain
         return bytes(out)
 
     # AES: plaintext is shorter than stored bytes (IV + padding), so

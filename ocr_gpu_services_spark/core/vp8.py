@@ -935,7 +935,11 @@ def vp8_decode_yuv(data: bytes):
             mb_info.append((seg, 1 if is_i4x4 else 0,
                             1 if (any_coeff or is_i4x4) else 0))
 
-    if h.filter_level > 0 or h.use_segment:
+    # libwebp parity (ParseFilterHeader): a header filter_level of 0
+    # disables the loop filter ENTIRELY — filter_type_ = level_ == 0 ?
+    # 0 : ... — even when segment-mode absolute strengths or positive
+    # deltas would give a macroblock a nonzero per-segment level
+    if h.filter_level > 0:
         _loop_filter(h, Y, U, V, mb_w, mb_h, mb_info)
 
     cw = (width + 1) >> 1

@@ -159,6 +159,15 @@ class _Prefix:
         self.single = None
         self.peek = maxlen
         self.uniform = maxlen if syms[0][0] == maxlen else None
+        # Kraft sum must be EXACTLY full (libwebp rejects both ways):
+        # under-full leaves unreachable -1 entries, and over-subscribed
+        # lengths would overflow the canonical code counter so a later
+        # code silently OVERWRITES an earlier symbol's table entries —
+        # the table ends up with no -1 sentinel left to catch it at
+        # decode time, and the stream decodes to garbage instead of
+        # raising
+        if sum(1 << (maxlen - l) for l, _ in syms) != 1 << maxlen:
+            raise ValueError("WebP: invalid prefix code (Kraft sum)")
         table = [-1] * (1 << maxlen)
         code = 0
         prev_len = syms[0][0]
@@ -171,11 +180,6 @@ class _Prefix:
             for idx in range(rev, 1 << maxlen, step):
                 table[idx] = ent
             code += 1
-        if code != 1 << maxlen >> (maxlen - prev_len) and \
-                any(t < 0 for t in table):
-            # over-subscribed codes already collided above; only
-            # under-full tables reach here
-            raise ValueError("WebP: incomplete prefix code")
         self.packed = table
 
     @classmethod
@@ -258,15 +262,6 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _Prefix:
     if sym > alphabet:
         raise ValueError("WebP: code lengths overflow alphabet")
     return _Prefix(lengths)
-
-
-def _prefix_value(code: int, br: _BitReader) -> int:
-    """LZ77 length/distance value from its prefix code, §4.6.2.2."""
-    if code < 4:
-        return code + 1
-    extra = (code - 2) >> 1
-    offset = (2 + (code & 1)) << extra
-    return offset + br.bits(extra) + 1
 
 
 # ------------------------------------------------------- image decoding
@@ -384,13 +379,23 @@ def _decode_pixels(br: _BitReader, w: int, h: int,
         pos += e >> 16
         s = e & 0xFFFF
         if s < 256:                                 # literal
+            # the r/b/a reads need the same -1 sentinel check as green:
+            # an invalid prefix here would otherwise step pos BACKWARD
+            # (-1 >> 16 is -1 in Python) and pack 0xFFFF into the
+            # channel, overflowing the uint32 conversion downstream
             e = tr[(u32[pos >> 3] >> (pos & 7)) & mr]
+            if e < 0:
+                raise ValueError("WebP: bad prefix code in stream")
             pos += e >> 16
             r = e & 0xFFFF
             e = tb[(u32[pos >> 3] >> (pos & 7)) & mb]
+            if e < 0:
+                raise ValueError("WebP: bad prefix code in stream")
             pos += e >> 16
             b = e & 0xFFFF
             e = ta[(u32[pos >> 3] >> (pos & 7)) & ma]
+            if e < 0:
+                raise ValueError("WebP: bad prefix code in stream")
             pos += e >> 16
             argb = ((e & 0xFFFF) << 24) | (r << 16) | (s << 8) | b
             append(argb)

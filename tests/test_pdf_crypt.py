@@ -260,3 +260,53 @@ def test_tiny_corpus_carries_every_scheme():
         elif b"/CFM /AESV3" in p:
             schemes.add("aes256")
     assert schemes == {"rc4-40", "rc4-128", "aesv2", "aes256"}
+
+
+def test_v4_cf_dict_ordered_before_length():
+    """Alphabetical-key writers emit /CF before the top-level /Length;
+    the key-bit search must not first-match the crypt filter's own
+    /Length 16 (a BYTE count) and derive a 5-byte key."""
+    e = build_pdf([content_stream_ops(LINES)], encrypt="aesv2")
+    p = build_pdf([content_stream_ops(LINES)])
+    reordered = e.replace(
+        b"/V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+        b"/Length 16 >> >>",
+        b"/V 4 /R 4 "
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+        b"/Length 16 >> >> /Length 128")
+    assert reordered != e            # the swap must have matched
+    assert extract_pdf(reordered) == extract_pdf(p)
+
+
+def test_id_literal_string_form():
+    """ISO 32000 §7.3.4: /ID entries are byte strings — hex <...> is
+    customary but a literal (...) is equally legal and must derive the
+    same file key."""
+    e = build_pdf([content_stream_ops(LINES)], encrypt=128)
+    p = build_pdf([content_stream_ops(LINES)])
+    idm = re.search(rb"/ID \[<([0-9a-f]+)> <([0-9a-f]+)>\]", e)
+    assert idm
+    id0 = bytes.fromhex(idm.group(1).decode())
+    lit = b"(" + b"".join(b"\\%03o" % b for b in id0) + b")"
+    relit = e[:idm.start()] + b"/ID [" + lit + b" " + lit + b"]" \
+        + e[idm.end():]
+    assert extract_pdf(relit) == extract_pdf(p)
+
+
+def test_rc4_overstated_length_keeps_offsets():
+    """A malformed /Length that overstates the bytes present must not
+    SHRINK the in-place RC4 splice: the decrypted-equivalent file keeps
+    every later object's offset valid (length-preserving invariant),
+    and the row never crashes."""
+    e = build_pdf([content_stream_ops(LINES)], encrypt=128)
+    lm = re.search(rb"/Length (\d+)", e)
+    bad = e[:lm.start()] + b"/Length %d" % (int(lm.group(1)) + 100000) \
+        + e[lm.end():]
+    out = pc.decrypt_pdf(bad)
+    # splice is bounded by the bytes actually present: nothing shrinks,
+    # so the file tail (xref/trailer and the final marker) stays intact
+    assert len(out) == len(bad)
+    assert out.rstrip().endswith(b"%%EOF")
+    ct, text, spans, _, _, err = extract_document(bad, None)
+    assert isinstance(text, str)     # degrade or partial-extract, no crash

@@ -287,3 +287,18 @@ def test_fixture_rows_in_tiny():
     assert any(f == "webp-vp8l" for f in fmts)
     assert any(f.endswith("-anim") for f in fmts)
     assert any(f == "webp-vp8" for f in fmts)
+
+
+def test_oversubscribed_prefix_code_rejected():
+    """Kraft-violating code-length sets must raise, not silently let a
+    later canonical code overwrite an earlier symbol's table entries
+    (the overwritten table has no -1 sentinel left, so the stream would
+    decode to garbage instead of failing; libwebp rejects the same
+    stream as corrupt)."""
+    from ocr_gpu_services_spark.core.webp import _Prefix
+    with pytest.raises(ValueError):
+        _Prefix([1, 1, 2])                     # over-subscribed
+    with pytest.raises(ValueError):
+        _Prefix([2, 2, 2])                     # under-full
+    _Prefix([1, 2, 2])                         # exactly full: accepted
+    _Prefix([2, 2, 2, 2])
