@@ -169,15 +169,21 @@ def g4_encode(black: np.ndarray) -> bytes:
         cur = _transitions(black[r])
         pos, color = -1, False
         ci = 0                              # index into cur of next a1
+        # monotone b-pointer: pos never decreases within a row and ref
+        # is sorted, so the first reference transition > pos only moves
+        # forward — O(transitions) per row instead of the quadratic
+        # from-zero rescan (a 1728px alternating halftone row has ~1700
+        # transitions; quadratic makes a single fax page take minutes)
+        bstart = 0
         while pos < w:
             a1 = cur[ci] if ci < len(cur) else w
             # b1: first ref change > pos with colour opposite `color`
-            # (changes to black sit at even indices)
+            # (changes to black sit at even indices); consecutive
+            # transitions alternate parity, so it is bstart or bstart+1
             want = 0 if not color else 1
-            bi = 0
-            while bi < len(ref) and (ref[bi] <= pos
-                                     or bi % 2 != want):
-                bi += 1
+            while bstart < len(ref) and ref[bstart] <= pos:
+                bstart += 1
+            bi = bstart if bstart % 2 == want else bstart + 1
             b1 = ref[bi] if bi < len(ref) else w
             b2 = ref[bi + 1] if bi + 1 < len(ref) else w
             if b2 < a1:
@@ -205,6 +211,13 @@ def g4_encode(black: np.ndarray) -> bytes:
 
 def g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
     """T.6 stream -> (h, w) bool array (True = black)."""
+    # crafted-header guard at the shared choke point (TIFF strips AND
+    # PDF /CCITTFaxDecode XObjects land here): all-white G4 rows cost
+    # ~1 bit each, so a ~13 KB stream with declared 100k x 100k
+    # dimensions would otherwise allocate a 10 GB page and OOM the
+    # executor instead of degrading to the error column
+    if w <= 0 or h <= 0 or w * h > (1 << 28):
+        raise ValueError(f"G4: implausible dimensions {w}x{h}")
     nbits = len(data) * 8
 
     def bit(p: int) -> int:
@@ -247,15 +260,19 @@ def g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
     for r in range(h):
         row = out[r]
         pos, color = -1, False
+        # monotone b-pointer (see g4_encode): linear per row, and on an
+        # invalid stream whose pos regresses the pointer simply yields a
+        # farther b1 — decode still terminates (read_code exhausts the
+        # stream) and valid streams are unaffected
+        bstart = 0
         while pos < w:
             kind, d = read_code(_modes)
             if kind == "eol":
                 raise ValueError("G4: unexpected EOL inside image")
             want = 0 if not color else 1
-            bi = 0
-            while bi < len(ref) and (ref[bi] <= pos
-                                     or bi % 2 != want):
-                bi += 1
+            while bstart < len(ref) and ref[bstart] <= pos:
+                bstart += 1
+            bi = bstart if bstart % 2 == want else bstart + 1
             b1 = ref[bi] if bi < len(ref) else w
             b2 = ref[bi + 1] if bi + 1 < len(ref) else w
             start = 0 if pos < 0 else pos

@@ -499,6 +499,27 @@ def _build_peek_lut(counts: tuple, values: tuple) -> list[int]:
     return lut
 
 
+def _unstuffed_u32(scan: bytes) -> list[int]:
+    """Byte-unstuffed entropy segment as a sliding 32-bit window list:
+    u32[i] = big-endian bytes i..i+3 = the 32 bits starting at bit 8*i
+    (4 zero pad bytes keep the last window readable).  Shared by the
+    sequential decoder and the progressive _Reader so the stuffing,
+    padding, and window-shape invariants live in ONE place."""
+    data = scan.replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00\x00"
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
+    return ((b[:-3] << 24) | (b[1:-2] << 16)
+            | (b[2:-1] << 8) | b[3:]).tolist()
+
+
+def _sync_restart_pos(u32: list[int], pos: int) -> int:
+    """Byte-align, verify an RSTn marker, return the position after it."""
+    pos = (pos + 7) & ~7
+    marker = (u32[pos >> 3] >> 16) & 0xFFFF
+    if not (0xFFD0 <= marker <= 0xFFD7):
+        raise ValueError("missing restart marker")
+    return pos + 16
+
+
 def _decode_scan(scan: bytes, schedule: list[tuple], n_mcus: int,
                  ncomp: int, restart_interval: int = 0):
     """Entropy-decode ``n_mcus`` MCUs.  ``schedule`` lists the blocks of
@@ -508,21 +529,14 @@ def _decode_scan(scan: bytes, schedule: list[tuple], n_mcus: int,
     are absolute DC / raw AC).  Honors DRI restart markers: every
     ``restart_interval`` MCUs the stream byte-aligns, an RSTn marker is
     skipped, and the DC predictors reset."""
-    data = scan.replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00\x00"
-    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
-    # u32[i] = big-endian bytes i..i+3 == the 32 bits starting at bit 8i
-    u32 = ((b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]).tolist()
+    u32 = _unstuffed_u32(scan)
     pos = 0
     prev_dc = [0] * ncomp
     nblk = [0] * ncomp
     out = [([], [], []) for _ in range(ncomp)]
     for mi in range(n_mcus):
         if restart_interval and mi and mi % restart_interval == 0:
-            pos = (pos + 7) & ~7                 # byte-align
-            marker = (u32[pos >> 3] >> 16) & 0xFFFF
-            if not (0xFFD0 <= marker <= 0xFFD7):
-                raise ValueError("missing restart marker")
-            pos += 16
+            pos = _sync_restart_pos(u32, pos)
             prev_dc = [0] * ncomp
         for ci, dc_lut, ac_lut in schedule:
             w = u32[pos >> 3]

@@ -32,7 +32,8 @@ from __future__ import annotations
 import numpy as np
 
 from .jpeg import (_DC_CODES, _DCT, _ZIGZAG, _BitWriter, _build_codes,
-                   _build_peek_lut, _magnitude, _pad_plane, _rgb_to_ycc)
+                   _build_peek_lut, _magnitude, _pad_plane, _rgb_to_ycc,
+                   _sync_restart_pos, _unstuffed_u32)
 
 # The sequential Annex-K AC tables carry no EOBn symbols (r<<4 for
 # 0<r<15 — progressive-only codes), so the encoder emits its own
@@ -53,10 +54,7 @@ _PROG_AC_CODES = _build_codes(_PROG_AC_COUNTS, _PROG_AC_VALUES)
 
 class _Reader:
     def __init__(self, scan: bytes):
-        data = scan.replace(b"\xff\x00", b"\xff") + b"\x00\x00\x00\x00"
-        b = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
-        self.u32 = ((b[:-3] << 24) | (b[1:-2] << 16)
-                    | (b[2:-1] << 8) | b[3:]).tolist()
+        self.u32 = _unstuffed_u32(scan)
         self.pos = 0
 
     def bits(self, n: int) -> int:
@@ -82,11 +80,7 @@ class _Reader:
         return e & 0xFF
 
     def sync_restart(self):
-        self.pos = (self.pos + 7) & ~7
-        marker = (self.u32[self.pos >> 3] >> 16) & 0xFFFF
-        if not (0xFFD0 <= marker <= 0xFFD7):
-            raise ValueError("missing restart marker")
-        self.pos += 16
+        self.pos = _sync_restart_pos(self.u32, self.pos)
 
 
 def _extend(v: int, s: int) -> int:
@@ -148,7 +142,14 @@ def decode_progressive(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit gray/YCbCr progressive")
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 0xF, tq))
+                hs, vs = samp >> 4, samp & 0xF
+                # a zero nibble would divide-by-zero at the MCU grid;
+                # JPEG allows 1..4 only.  ValueError (not the raw
+                # ZeroDivisionError) so pdf_extract's per-image skip
+                # catches it
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("invalid sampling factor")
+                comps.append((cid, hs, vs, tq))
         elif marker == 0xC4:
             j = 0
             while j < len(seg):
@@ -174,6 +175,17 @@ def decode_progressive(data: bytes) -> np.ndarray:
             if (ss == 0) != (se == 0) or se > 63 or \
                     (ah != 0 and ah != al + 1):
                 raise ValueError("invalid progressive scan header")
+            # a scan referencing an undefined Huffman slot stored None
+            # and blew up as TypeError deep in the entropy loop; reject
+            # as ValueError here.  First DC scans (ah=0) Huffman-code
+            # magnitudes; DC refinements read raw bits (no table); AC
+            # scans (first AND refinement) both read EOB runs via the
+            # AC table
+            for _cid, _dc, _ac in scomps:
+                if (ss == 0 and ah == 0 and _dc is None) or \
+                        (ss > 0 and _ac is None):
+                    raise ValueError("scan references undefined "
+                                     "Huffman table")
             start = i + 2 + seg_len
             end = _scan_end(data, start)
             scans.append((scomps, ss, se, ah_al >> 4, ah_al & 0xF,
@@ -183,6 +195,15 @@ def decode_progressive(data: bytes) -> np.ndarray:
         i += 2 + seg_len
     if h is None or not comps or not scans:
         raise ValueError("truncated progressive JPEG")
+    # crafted-header guard (same 1<<28 cap as the other raster
+    # decoders): a few-hundred-byte stream declaring 65535x65535 would
+    # otherwise allocate ~17 GB of coefficient planes per component
+    # before any entropy data is validated
+    if h <= 0 or w <= 0 or h * w > (1 << 28):
+        raise ValueError(f"implausible progressive JPEG {w}x{h}")
+    for _cid, _hs, _vs, tq in comps:
+        if tq not in qt:
+            raise ValueError("component references undefined quant table")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

@@ -370,7 +370,13 @@ def tiff_encode(img: np.ndarray, compression: str = "none",
 def _read_tag_values(payload, e, ty, count, val_bytes):
     size = {1: 1, 3: 2, 4: 4}.get(ty)
     if size is None:
-        raise ValueError(f"TIFF: unsupported tag type {ty}")
+        # a tag type this decoder never consumes (ASCII=2, RATIONAL=5,
+        # SBYTE.. DOUBLE): SKIP it rather than reject the file — the
+        # baseline-standard XResolution/YResolution (RATIONAL) and
+        # Software/DateTime (ASCII) tags ride in virtually every
+        # scanner/libtiff output, and every tag the decode path reads
+        # is integer-typed
+        return None
     total = size * count
     if total <= 4:
         buf = val_bytes[:total]
@@ -401,8 +407,10 @@ def tiff_decode(payload: bytes) -> np.ndarray:
         if off + 12 > len(payload):
             raise ValueError("TIFF: truncated IFD")
         t, ty, c = struct.unpack_from(e + "HHI", payload, off)
-        tags[t] = _read_tag_values(payload, e, ty, c,
-                                   payload[off + 8:off + 12])
+        vals = _read_tag_values(payload, e, ty, c,
+                                payload[off + 8:off + 12])
+        if vals is not None:
+            tags[t] = vals
 
     def one(t, default=None):
         if t not in tags:
@@ -453,13 +461,17 @@ def tiff_decode(payload: bytes) -> np.ndarray:
         expected = n_rows * rowbytes
         raw = payload[off:off + cnt]
         if comp == 4:
-            # T.6 decode yields semantic black; re-express as the raw
-            # bit convention the photometric tail expects (photo 0:
-            # bit 1 = min = white-is-min -> ink)
+            # T.6 decode yields semantic black; apply the photometric
+            # convention directly (photo 0: bit 1 = min = white-is-min
+            # -> ink) and build the strip without the packbits ->
+            # unpackbits round trip the byte-oriented branches need
             from .ccitt import g4_decode
+            if predictor == 2:
+                raise ValueError("TIFF: predictor on bilevel")
             blk = g4_decode(raw, w, n_rows)
             bits1 = blk if photo == 0 else ~blk
-            raw = np.packbits(bits1, axis=1).tobytes()
+            chunks.append((bits1 * np.uint8(255)).reshape(n_rows, w, 1))
+            continue
         elif comp == 1:
             if len(raw) < expected:
                 raise ValueError("TIFF: truncated strip")

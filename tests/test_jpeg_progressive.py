@@ -11,8 +11,8 @@ import pytest
 
 from ocr_gpu_services_spark.core.jpeg import (jpeg_decode, jpeg_encode,
                                               jpeg_encode_color)
-from ocr_gpu_services_spark.core.jpeg_progressive import \
-    jpeg_encode_progressive
+from ocr_gpu_services_spark.core.jpeg_progressive import (
+    decode_progressive, jpeg_encode_progressive)
 
 
 def test_progressive_decodes_pixel_identical_to_baseline_gray():
@@ -133,3 +133,45 @@ def test_bitwriter_matches_naive_emitter():
         old.flush()
         new.flush()
         assert bytes(old.buf) == bytes(new.buf)
+
+
+def test_malformed_progressive_raises_valueerror_not_typeerror():
+    """pdf_extract's per-image skip catches (ValueError, IndexError)
+    only — malformed streams must not leak TypeError/KeyError/
+    ZeroDivisionError from deep in the entropy loop and nuke the whole
+    PDF row."""
+    g = (np.arange(32 * 32) % 256).astype(np.uint8).reshape(32, 32)
+    good = jpeg_encode_progressive(g)
+
+    import re as _re
+    # SOS referencing an undefined Huffman slot (table id 9)
+    sos = good.index(b"\xff\xda")
+    bad_tab = bytearray(good)
+    bad_tab[sos + 6] = 0x99          # Td/Ta nibbles -> undefined slot
+    with pytest.raises(ValueError):
+        decode_progressive(bytes(bad_tab))
+
+    # SOF sampling factor nibble 0 -> would divide by zero at MCU grid
+    sof = good.index(b"\xff\xc2")
+    bad_samp = bytearray(good)
+    bad_samp[sof + 11] = 0x00        # h=v=0 for component 0
+    with pytest.raises(ValueError):
+        decode_progressive(bytes(bad_samp))
+
+    # component referencing a quant table no DQT defined
+    bad_q = bytearray(good)
+    bad_q[sof + 12] = 7              # Tq -> undefined
+    with pytest.raises(ValueError):
+        decode_progressive(bytes(bad_q))
+
+
+def test_crafted_progressive_header_capped():
+    """A few-hundred-byte stream declaring 65535x65535 must raise, not
+    allocate ~17 GB of coefficient planes."""
+    g = np.full((16, 16), 128, np.uint8)
+    good = jpeg_encode_progressive(g)
+    sof = good.index(b"\xff\xc2")
+    huge = bytearray(good)
+    huge[sof + 5:sof + 9] = b"\xff\xff\xff\xff"     # h = w = 65535
+    with pytest.raises(ValueError):
+        decode_progressive(bytes(huge))

@@ -5,6 +5,7 @@ and table resets), rejection of unsupported shapes, and the sniff /
 probe / decode-seam integration."""
 
 import struct
+import time
 
 import numpy as np
 import pytest
@@ -487,3 +488,60 @@ def test_gif_fixture_rows_extract_identically():
     assert any(f.startswith("gif-gray") for f in fmts)
     assert any(f.startswith("gif-rgb") for f in fmts)
     assert any(f.endswith("-i") for f in fmts)
+
+
+def _with_scanner_tags(data: bytes) -> bytes:
+    """Rebuild the IFD at EOF with XResolution (RATIONAL) and Software
+    (ASCII) appended — the baseline-standard tags virtually every
+    scanner/libtiff writer emits."""
+    ifd_off = struct.unpack_from("<I", data, 4)[0]
+    n = struct.unpack_from("<H", data, ifd_off)[0]
+    entries = data[ifd_off + 2:ifd_off + 2 + 12 * n]
+    out = bytearray(data)
+    rat_off = len(out)
+    out += struct.pack("<II", 300, 1)
+    sw = b"scanner-x\x00"
+    sw_off = len(out)
+    out += sw
+    new_ifd = len(out)
+    ents = [entries[i * 12:(i + 1) * 12] for i in range(n)]
+    ents.append(struct.pack("<HHII", 282, 5, 1, rat_off))
+    ents.append(struct.pack("<HHII", 305, 2, len(sw), sw_off))
+    out += struct.pack("<H", len(ents)) + b"".join(ents) + \
+        struct.pack("<I", 0)
+    struct.pack_into("<I", out, 4, new_ifd)
+    return bytes(out)
+
+
+def test_tiff_skips_non_integer_tag_types():
+    """RATIONAL / ASCII tags the decoder never consumes must be SKIPPED,
+    not fatal — previously any scanner TIFF carrying XResolution or
+    Software raised 'unsupported tag type' and the row degraded."""
+    g = (np.arange(40 * 60, dtype=np.uint32) * 37 % 251).astype(np.uint8)
+    g = g.reshape(40, 60)
+    plain = tiff.tiff_encode(g, "lzw", predictor=True)
+    tagged = _with_scanner_tags(plain)
+    assert np.array_equal(tiff.tiff_decode(tagged), g)
+
+
+def test_g4_crafted_dimensions_capped():
+    """A tiny all-white G4 stream with huge declared dimensions must
+    raise (ValueError -> error column), never allocate the 10 GB page."""
+    from ocr_gpu_services_spark.core import ccitt
+    small = ccitt.g4_encode(np.zeros((4, 64), bool))
+    with pytest.raises(ValueError):
+        ccitt.g4_decode(small, 100000, 100000)
+
+
+def test_g4_halftone_rows_linear_roundtrip():
+    """Alternating-pixel rows (the error-diffusion/halftone shape) have
+    ~w transitions per row; the monotone b-pointer must stay exact on
+    this densest case AND fast (the from-zero rescan was quadratic —
+    minutes per fax page)."""
+    from ocr_gpu_services_spark.core import ccitt
+    g = np.zeros((48, 1728), bool)
+    g[:, ::2] = True
+    g[1::2, 1::4] = False
+    t0 = time.time()
+    assert np.array_equal(ccitt.g4_decode(ccitt.g4_encode(g), 1728, 48), g)
+    assert time.time() - t0 < 5.0
