@@ -348,7 +348,7 @@ def jpeg_encode(img: np.ndarray, quant: int = 1,
     if exif_orientation:
         out += _exif_app1(exif_orientation)
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    dqt = bytes([0x00]) + bytes(int(x) & 0xFF for x in q[_np_argsort_id()])
+    dqt = bytes([0x00]) + bytes(int(x) & 0xFF for x in q)
     out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([1, 1, 0x11, 0])
@@ -447,7 +447,7 @@ def jpeg_encode_color(rgb: np.ndarray, quant: int = 1,
         out += _exif_app1(exif_orientation)
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq in (0, 1):                        # luma + chroma quant tables
-        dqt = bytes([tq]) + bytes(int(x) & 0xFF for x in q[_np_argsort_id()])
+        dqt = bytes([tq]) + bytes(int(x) & 0xFF for x in q)
         out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([3, 1, ys, 0, 2, 0x11, 1, 3, 0x11, 1])
@@ -459,12 +459,6 @@ def jpeg_encode_color(rgb: np.ndarray, quant: int = 1,
     out += scan_bytes
     out += b"\xff\xd9"
     return bytes(out)
-
-
-def _np_argsort_id():
-    """Quant table is stored in zigzag order; ours is constant so the
-    zigzag of a constant table is itself."""
-    return np.arange(64)
 
 
 # ---------------------------------------------------------------------------
@@ -640,7 +634,21 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit gray/YCbCr baseline")
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 0xF, tq))
+                hs_, vs_ = samp >> 4, samp & 0xF
+                # zero nibbles divide-by-zero at the MCU grid; JPEG
+                # allows 1..4 only.  ValueError so pdf_extract's
+                # per-image skip catches it
+                if not (1 <= hs_ <= 4 and 1 <= vs_ <= 4):
+                    raise ValueError("invalid sampling factor")
+                comps.append((cid, hs_, vs_, tq))
+            if nc == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved
+                # (MCU = one data unit, blocks in raster order over the
+                # component grid) — declared sampling factors play no
+                # layout role, so normalize them; honoring them as an
+                # MCU grid would silently SCRAMBLE blocks in 2x2-MCU
+                # order for streams declaring e.g. 0x22
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
         elif marker == 0xC2:                     # SOF2 progressive
             from .jpeg_progressive import decode_progressive
             return decode_progressive(data)
@@ -663,6 +671,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             ns = seg[0]
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                if tabs >> 4 not in dc_tabs or tabs & 0xF not in ac_tabs:
+                    raise ValueError("scan references undefined "
+                                     "Huffman table")
                 scan_tabs[cid] = (dc_tabs[tabs >> 4], ac_tabs[tabs & 0xF])
             scan_start = i + 2 + seg_len
             end = data.find(b"\xff\xd9", scan_start)
@@ -671,6 +682,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         i += 2 + seg_len
     if h is None or scan is None or not comps:
         raise ValueError("truncated JPEG")
+    # crafted-header guard, same 1<<28 cap as the other raster decoders
+    if h <= 0 or w <= 0 or h * w > (1 << 28):
+        raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+    if any(cid not in scan_tabs for cid, _h, _v, _t in comps):
+        # a 3-component frame whose SOS covers fewer components is a
+        # multi-scan sequential file this single-scan decoder does not
+        # handle — reject cleanly instead of KeyError
+        raise ValueError("multi-scan baseline unsupported")
+    if any(tq not in qt for _c, _h, _v, tq in comps):
+        raise ValueError("component references undefined quant table")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if any(hmax % c[1] or vmax % c[2] for c in comps):

@@ -203,6 +203,11 @@ def _decode_pdf_string(tok: bytes) -> str:
                 out.append(int(oct_digits.decode(), 8) & 0xFF)
             elif e == 0x0A:
                 pass  # line continuation
+            elif e == 0x0D:
+                # \<CR> and \<CRLF> are line continuations too (§7.3.4.2
+                # — no characters); CRLF-line-ending writers emit them
+                if i + 1 < len(tok) and tok[i + 1] == 0x0A:
+                    i += 1
             else:
                 out.append(e)
         else:
@@ -425,6 +430,13 @@ def _runs_from_stream(stream: bytes, seq0: int,
             ly -= leading
             cx, cy = lx, ly
             emit(dec(stack[-1][1]))
+        elif op == b'"' and stack and stack[-1][0] == "str" and in_text:
+            # aw ac (text) " — shorthand for Tw aw, Tc ac, ' (§9.4.3);
+            # spacing operands are ignored like Tw/Tc themselves, but
+            # the implied line advance and the shown string must land
+            ly -= leading
+            cx, cy = lx, ly
+            emit(dec(stack[-1][1]))
         elif op == b"TJ" and stack and stack[-1][0] == "arr" and in_text:
             buf = []
             for it, iv in stack[-1][1]:
@@ -472,12 +484,13 @@ def _group_lines(runs: list[_Run]) -> list[tuple[float, float, str, float]]:
     return out
 
 
-def _layout_lines(runs: list[_Run], page_width: float):
+def _layout_lines(runs: list[_Run], page_mid: float):
     """Column-aware layout: if both page halves hold >= 2 lines, treat as a
     two-column page and read the left column fully before the right
-    (pdfminer-style layout grouping, deterministic case)."""
-    left = [r for r in runs if r.x < page_width / 2]
-    right = [r for r in runs if r.x >= page_width / 2]
+    (pdfminer-style layout grouping, deterministic case).  ``page_mid``
+    is the MediaBox midline in page coordinates (x0+x1)/2."""
+    left = [r for r in runs if r.x < page_mid]
+    right = [r for r in runs if r.x >= page_mid]
     l_lines, r_lines = _group_lines(left), _group_lines(right)
     key = lambda ln: (-ln[0], ln[1])
     if len(l_lines) >= 2 and len(r_lines) >= 2:
@@ -616,24 +629,45 @@ def extract_pdf(payload: bytes) -> tuple[str, list[Span]]:
     for pageno, pnum in enumerate(page_nums):
         body = objs.get(pnum, b"")
         mb = _MEDIABOX_RE.search(body)
-        width = float(mb.group(3)) if mb else 612.0
-        content_bodies: list[bytes] = []
+        # column split at the page MIDLINE, not x1/2: an offset
+        # MediaBox like [100 0 712 792] has its midline at 406, and
+        # runs carry page-space x coordinates
+        mid = ((float(mb.group(1)) + float(mb.group(3))) / 2.0
+               if mb else 306.0)
+        # /Resources may be indirect (/Resources 7 0 R — a very common
+        # real-writer shape): append the referenced dict so the /Font
+        # and /XObject searches see it
+        rbody = body
+        rm_ = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+        if rm_:
+            rbody = body + b"\n" + objs.get(int(rm_.group(1)), b"")
+        # /Contents: single ref, ARRAY of refs (split content streams —
+        # the spec says they form one logical stream, so join before
+        # tokenizing: graphics/text state carries across the seams), or
+        # the fixture-world inline stream on the page object itself
+        streams: list[bytes] = []
+        ca = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
         cm = _CONTENTS_RE.search(body)
-        if cm:
+        if ca:
+            for m_ in _REF_RE.finditer(ca.group(1)):
+                s = _object_stream(objs.get(int(m_.group(1)), b""))
+                if s:
+                    streams.append(s)
+        elif cm:
             s = _object_stream(objs.get(int(cm.group(1)), b""))
             if s:
-                content_bodies.append(s)
+                streams.append(s)
         else:
             s = _object_stream(body)
             if s:
-                content_bodies.append(s)
+                streams.append(s)
         runs: list[_Run] = []
-        fonts = _page_fonts(body, objs)
-        for cb in content_bodies:
-            runs.extend(_runs_from_stream(cb, seq, fonts))
+        fonts = _page_fonts(rbody, objs)
+        if streams:
+            runs = _runs_from_stream(b"\n".join(streams), seq, fonts)
             seq += len(runs)
         if not runs:
-            scans = _page_scan_images(body, objs)
+            scans = _page_scan_images(rbody, objs)
             if scans:
                 # honor the /Rotate page attribute (real scan-to-PDF
                 # tools emit 90/180/270 for sideways captures): the flag
@@ -652,7 +686,7 @@ def extract_pdf(payload: bytes) -> tuple[str, list[Span]]:
                     spans.extend(page_spans)
                 page_texts.append("\n\n".join(p for p in parts if p))
                 continue
-        lines = _layout_lines(runs, width)
+        lines = _layout_lines(runs, mid)
         page_texts.append("\n".join(ln[2] for ln in lines))
         for y, x, text, size in lines:
             norm = canonical_text(text)

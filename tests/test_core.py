@@ -357,3 +357,109 @@ def test_adversarial_html_payload_is_linear_time():
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+# --------------------------------------------------------------- batch-3
+# review regressions: real-writer PDF shapes + JPEG scan-layout parity
+
+def _mini_pdf(page_extra: bytes, streams: list[bytes],
+              resources: bytes = b"<< /Font << /F1 7 0 R >> >>") -> bytes:
+    """Hand-rolled multi-object PDF exercising shapes the fixture writer
+    never emits (array /Contents, indirect /Resources, offset MediaBox)."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R " + page_extra + b" >>"),
+        6: resources,
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    for k, s in enumerate(streams):
+        objs[4 + k if k < 2 else 8 + k] = (
+            b"<< /Length " + str(len(s)).encode() + b" >>\nstream\n"
+            + s + b"\nendstream")
+    out = [b"%PDF-1.4\n"]
+    for n in sorted(objs):
+        out.append(b"%d 0 obj " % n + objs[n] + b" endobj\n")
+    out.append(b"trailer << /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def test_pdf_array_contents_and_indirect_resources():
+    """/Contents [4 0 R 5 0 R] with /Resources 7 0 R — the common
+    real-writer shape: split streams form ONE logical stream and the
+    resources dict must be dereferenced.  Previously: silent empty
+    text."""
+    from ocr_gpu_services_spark.core.pdf_extract import extract_pdf
+    s1 = b"BT /F1 12 Tf 120 700 Td (Hello) Tj ET"
+    s2 = b"BT /F1 12 Tf 120 680 Td (world) Tj ET"
+    pdf = _mini_pdf(b"/MediaBox [0 0 612 792] /Resources 6 0 R "
+                    b"/Contents [4 0 R 5 0 R]", [s1, s2])
+    text, spans = extract_pdf(pdf)
+    assert "Hello" in text and "world" in text
+    assert text.index("Hello") < text.index("world")
+
+
+def test_pdf_doublequote_operator_and_string_continuation():
+    """The '\"' text-showing operator must emit its string, and
+    backslash-CR(LF) inside a literal string is a line continuation
+    producing NO characters (so 'foo\\<CRLF>bar' is the single word
+    foobar)."""
+    from ocr_gpu_services_spark.core.pdf_extract import extract_pdf
+    s = (b"BT /F1 12 Tf 14 TL 120 700 Td (first) Tj "
+         b"2 1 (quoted) \" ET "
+         b"BT /F1 12 Tf 120 660 Td (foo\\\r\nbar) Tj ET")
+    pdf = _mini_pdf(b"/MediaBox [0 0 612 792] /Resources 6 0 R "
+                    b"/Contents 4 0 R", [s])
+    text, _ = extract_pdf(pdf)
+    assert "quoted" in text
+    assert "foobar" in text           # continuation: no CR/LF chars
+
+
+def test_pdf_offset_mediabox_column_split():
+    """MediaBox [100 0 712 792]: the column midline is 406, not 356 —
+    a line at x=380 belongs to the LEFT column."""
+    from ocr_gpu_services_spark.core.pdf_extract import extract_pdf
+    ops = []
+    for y, x, t in [(700, 120, b"(L1) Tj"), (680, 380, b"(L2) Tj"),
+                    (700, 500, b"(R1) Tj"), (680, 500, b"(R2) Tj")]:
+        ops.append(b"BT /F1 12 Tf %d %d Td " % (x, y) + t + b" ET")
+    pdf = _mini_pdf(b"/MediaBox [100 0 712 792] /Resources 6 0 R "
+                    b"/Contents 4 0 R", [b" ".join(ops)])
+    text, _ = extract_pdf(pdf)
+    order = [text.index(k) for k in ("L1", "L2", "R1", "R2")]
+    assert order == sorted(order), text
+
+
+def test_jpeg_single_component_sampling_is_layout_free():
+    """T.81 A.2: a single-component scan is non-interleaved — a gray
+    stream declaring sampling 0x22 must decode pixel-identical to its
+    0x11 twin, not scramble blocks in MCU order."""
+    from ocr_gpu_services_spark.core.jpeg import jpeg_decode, jpeg_encode
+    g = (np.arange(32 * 32, dtype=np.uint32) * 97 % 251).astype(np.uint8)
+    g = g.reshape(32, 32)
+    enc = jpeg_encode(g)
+    ref = jpeg_decode(enc)
+    sof = enc.index(b"\xff\xc0")
+    patched = bytearray(enc)
+    assert patched[sof + 11] == 0x11
+    patched[sof + 11] = 0x22
+    assert np.array_equal(jpeg_decode(bytes(patched)), ref)
+
+
+def test_jpeg_undefined_table_refs_raise_valueerror():
+    """KeyError/ZeroDivisionError from malformed baseline JPEGs escaped
+    pdf_extract's per-image (ValueError, IndexError) skip and killed
+    whole documents."""
+    from ocr_gpu_services_spark.core.jpeg import jpeg_decode, jpeg_encode
+    g = np.full((16, 16), 200, np.uint8)
+    enc = jpeg_encode(g)
+    sos = enc.index(b"\xff\xda")
+    bad = bytearray(enc)
+    bad[sos + 6] = 0x99               # undefined Huffman slots
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(bad))
+    sof = enc.index(b"\xff\xc0")
+    bad2 = bytearray(enc)
+    bad2[sof + 11] = 0x00             # zero sampling factor
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(bad2))
