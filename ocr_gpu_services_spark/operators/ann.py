@@ -48,6 +48,17 @@ def cosine_sim_col(a, b):
         _dot(ad, bd) / F.sqrt(_dot(ad, ad) * _dot(bd, bd)), 4)
 
 
+def _round4_half_away(x):
+    """4-decimal rounding matching Spark ``F.round`` and DuckDB
+    ``round()`` (half AWAY from zero) — numpy's default is half-EVEN,
+    which diverges on exactly-representable boundaries (0.15625:
+    np.round -> 0.1562, Spark/DuckDB -> 0.1563).  Any numpy side of an
+    engine/oracle pair whose other side is F.round or DuckDB must use
+    this, or an exact-boundary cosine flips the gate's value hash."""
+    import numpy as _np
+    return _np.copysign(_np.floor(_np.abs(x) * 1e4 + 0.5), x) / 1e4
+
+
 def cosine_topk(embeddings: DataFrame, query_ids: list[int],
                 k: int = 5) -> DataFrame:
     """Exact brute-force top-k neighbors for each query vec_id."""
@@ -262,6 +273,10 @@ def train_ivf_centroids_sampled(embeddings: DataFrame, dim: int,
            .toPandas())          # Arrow path: row-collect of array cols
     #                              deserializes ~10x slower via Py4J
     sample = np.array(list(pdf[emb_col]), dtype=np.float64)
+    if sample.ndim != 2 or sample.shape[1] != dim:
+        raise ValueError(
+            f"embedding width {sample.shape[-1] if sample.ndim == 2 else '?'}"
+            f" != dim={dim}")
     return lloyd_centroids(sample, nlist, iters)
 
 
@@ -367,7 +382,8 @@ def ivf_topk_numpy(ids: np.ndarray, mat: np.ndarray, query_ids: list[int],
         cand = np.nonzero(np.isin(assign, probe) & (ids != qid))[0]
         # mirror the engine's re-rank formula exactly (raw vectors,
         # dot / sqrt(dot*dot), round 4) so rounding boundaries agree
-        cos = np.round((M[cand] @ M[qi]) / (norms[cand] * norms[qi]), 4)
+        cos = _round4_half_away(
+            (M[cand] @ M[qi]) / (norms[cand] * norms[qi]))
         order = sorted(range(len(cand)), key=lambda j: (-cos[j], ids[cand[j]]))
         for rank, j in enumerate(order[:k], 1):
             out.append((int(qid), int(ids[cand[j]]), rank, float(cos[j])))
@@ -488,9 +504,9 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
             f"collects the corpus to the driver; {n} rows exceeds its "
             f"{MAX_ORACLE_TWIN_ROWS}-row cap — use "
             f"embedding_dup_pairs_lsh (no collect) at this scale")
-    rows = embeddings.select(id_col, emb_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    pdf = embeddings.select(id_col, emb_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(list(pdf[emb_col]), dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     spark = embeddings.sparkSession
     b_ids = spark.sparkContext.broadcast(ids)
@@ -503,7 +519,7 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
             A = np.array(list(pdf[emb_col]), dtype=np.float64)
             Aids = pdf[id_col].to_numpy(dtype=np.int64)
             An = np.sqrt((A * A).sum(axis=1))
-            cos = np.round((A @ B.T) / np.outer(An, Bn), 4)
+            cos = _round4_half_away((A @ B.T) / np.outer(An, Bn))
             ai, bi = np.nonzero(
                 (cos >= threshold) & (Aids[:, None] < Bids[None, :]))
             yield pd.DataFrame({"id_a": Aids[ai], "id_b": Bids[bi],
@@ -555,9 +571,14 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, dim: int,
                 }))
             yield pd.concat(out, ignore_index=True)
 
+    # re-emit the embedding column with its INPUT type: hardcoding
+    # array<float> would silently truncate double-typed embeddings in
+    # the Arrow round-trip and score different cosines than the exact
+    # operator this path must reproduce
+    emb_type = embeddings.schema[emb_col].dataType.simpleString()
     bucketed = embeddings.select(id_col, emb_col).mapInPandas(
         bucketize, f"band int, bucket long, {id_col} long, "
-                   f"{emb_col} array<float>")
+                   f"{emb_col} {emb_type}")
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -567,7 +588,7 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, dim: int,
         A = np.array(list(pdf[emb_col]), dtype=np.float64)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         norms = np.sqrt((A * A).sum(axis=1))
-        cos = np.round((A @ A.T) / np.outer(norms, norms), 4)
+        cos = _round4_half_away((A @ A.T) / np.outer(norms, norms))
         ai, bi = np.nonzero((cos >= threshold)
                             & (ids[:, None] < ids[None, :]))
         return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],

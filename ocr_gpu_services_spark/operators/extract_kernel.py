@@ -66,7 +66,13 @@ def _chunks_by_bytes(batch: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
     payload (always >= 1 row)."""
     import pyarrow.compute as pc
     html = batch.column(batch.schema.get_field_index("html"))
-    sizes = pc.coalesce(pc.binary_length(html), 0).to_pylist()
+    text = batch.column(batch.schema.get_field_index("text"))
+    # count BOTH payload columns: text-route rows carry html=NULL with
+    # the payload in `text`, and counting only html would leave a batch
+    # of mega text rows unsplit — exactly the blowup this cap prevents
+    sizes = pc.add(
+        pc.coalesce(pc.binary_length(html), 0),
+        pc.coalesce(pc.utf8_length(text), 0)).to_pylist()
     start, acc = 0, 0
     for i, s in enumerate(sizes):
         if acc + s > MAX_BATCH_BYTES and i > start:

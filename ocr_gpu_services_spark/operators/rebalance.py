@@ -36,7 +36,10 @@ def rebalance_by_size(df: DataFrame, n_small: int | None = None,
         n_small = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if n_big is None:
         n_big = max(4, n_small // 4)
-    size = F.coalesce(F.octet_length(F.col(payload_col)), F.lit(0))
+    # text-route rows carry html=NULL with the payload in `text`; count
+    # both columns so mega text rows reach the big branch too
+    size = (F.coalesce(F.octet_length(F.col(payload_col)), F.lit(0))
+            + F.coalesce(F.octet_length(F.col("text")), F.lit(0)))
     salt = F.xxhash64(F.col("url"))
     small = df.filter(size <= big_threshold).repartition(n_small, salt)
     big = df.filter(size > big_threshold).repartition(n_big, salt)

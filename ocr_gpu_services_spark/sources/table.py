@@ -356,5 +356,16 @@ class IcebergLikeTable:
                         (m["partition"], f) not in keep:
                     os.remove(os.path.join(pdir, f))
                     removed_files += 1
+        # crashed-compaction temp dirs: a compact_partition that died
+        # before its step-4 move leaves _tmp_compact_<part>_<run> with a
+        # full duplicate copy of the partition's data, referenced by no
+        # manifest — under the same single-writer assumption as the rest
+        # of this vacuum, any such dir still present is dead
+        dropped_tmp = 0
+        for d in os.listdir(self.path):
+            if d.startswith("_tmp_compact_"):
+                shutil.rmtree(os.path.join(self.path, d))
+                dropped_tmp += 1
         return {"dropped_manifests": dropped_manifests,
-                "removed_files": removed_files}
+                "removed_files": removed_files,
+                "dropped_tmp_dirs": dropped_tmp}

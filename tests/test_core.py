@@ -463,3 +463,24 @@ def test_jpeg_undefined_table_refs_raise_valueerror():
     bad2[sof + 11] = 0x00             # zero sampling factor
     with pytest.raises(ValueError):
         jpeg_decode(bytes(bad2))
+
+
+def test_text_route_rows_byte_capped_too():
+    """Rows whose payload rides in the `text` column (html NULL) must
+    count toward the chunker's byte cap — previously their size read 0
+    and a batch of mega text rows was never split."""
+    import pyarrow as pa
+
+    from ocr_gpu_services_spark.operators.extract_kernel import (
+        MAX_BATCH_BYTES, _chunks_by_bytes)
+
+    big = "lorem ipsum dolor sit amet " * (MAX_BATCH_BYTES // 20)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["t1", "t2", "t3"]),
+         pa.array([None, None, None], pa.timestamp("us")),
+         pa.array([None, None, None], pa.binary()),
+         pa.array([big, big, big], pa.string())],
+        names=["url", "warc_ts", "html", "text"])
+    chunks = list(_chunks_by_bytes(batch))
+    assert len(chunks) == 3              # each mega text row isolated
+    assert sum(c.num_rows for c in chunks) == 3

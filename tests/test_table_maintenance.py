@@ -122,3 +122,19 @@ def test_read_fails_loudly_when_committed_file_missing(spark, table):
         t.read(spark)
     # the archived generation is still exactly readable by snapshot
     assert _rows(t.read_as_of(spark, run_id="run1")) == want
+
+
+def test_expire_sweeps_crashed_compaction_tmp_dir(spark, table):
+    """A _tmp_compact_* dir from a compaction that died before its move
+    step holds a full duplicate of the partition's data and is
+    referenced by no manifest — expire_snapshots must reclaim it."""
+    import os
+    t, expected = table
+    dead = os.path.join(t.path, "_tmp_compact_d1_runX")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-0.parquet"), "wb") as f:
+        f.write(b"dead")
+    stats = t.expire_snapshots(before_unix=0)
+    assert stats["dropped_tmp_dirs"] == 1
+    assert not os.path.isdir(dead)
+    assert _rows(t.read(spark)) == expected      # data untouched
