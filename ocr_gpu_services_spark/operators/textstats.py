@@ -20,9 +20,13 @@ from ..core.stopwords import ENGLISH_STOPWORDS, SPANISH_STOPWORDS
 # ---------------------------------------------------------------------------
 
 def tokens_col(col: Column) -> Column:
+    # One regex pass: splitting on runs of non-token chars is equivalent
+    # to the oracle's replace-then-split-on-\s+ (any non-token char is a
+    # delimiter either way; leading/trailing delimiters yield empty
+    # strings, removed by the same filter) and saves a full
+    # regexp_replace + trim pass per evaluation.
     t = F.lower(col.cast("string"))
-    t = F.regexp_replace(t, r"[^a-z0-9áéíóúüñ\s]", " ")
-    return F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    return F.filter(F.split(t, r"[^a-z0-9áéíóúüñ]+"), lambda w: w != "")
 
 
 def tokens_sql(expr: str) -> str:
@@ -42,8 +46,9 @@ def quality_cols(text_col: str = "text") -> dict[str, Column]:
     n_tokens = F.size(toks)
     n_chars = F.length(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    # isin over >10 literals becomes an InSet hash probe (O(1) per token)
+    # vs array_contains' linear scan over the stopword array
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(ENGLISH_STOPWORDS)))
     avg_wlen = F.when(n_tokens > 0,
                       F.round(F.aggregate(toks, F.lit(0),
                                           lambda a, w: a + F.length(w))
@@ -93,10 +98,8 @@ def quality_sql(text_expr: str) -> dict[str, str]:
 
 def langid_col(text_col: str = "text") -> Column:
     toks = tokens_col(F.col(text_col))
-    en = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
-    es = F.array(*[F.lit(w) for w in SPANISH_STOPWORDS])
-    n_en = F.size(F.filter(toks, lambda w: F.array_contains(en, w)))
-    n_es = F.size(F.filter(toks, lambda w: F.array_contains(es, w)))
+    n_en = F.size(F.filter(toks, lambda w: w.isin(ENGLISH_STOPWORDS)))
+    n_es = F.size(F.filter(toks, lambda w: w.isin(SPANISH_STOPWORDS)))
     return (F.when(n_en > n_es, F.lit("en"))
              .when(n_es > n_en, F.lit("es"))
              .otherwise(F.lit("und")))
@@ -159,6 +162,110 @@ def gopher_cols(text_col: str = "text") -> dict:
         "dup_frac": F.round(dup_frac, 4),
         "gopher_keep": keep,
     }
+
+
+# ---------------------------------------------------------------------------
+# bound (single-tokenization) DataFrame-level stats
+#
+# The expression-level helpers above embed the tokenizer in EVERY derived
+# column; Catalyst cannot share them (subexpression elimination skips any
+# tree containing lambda variables, SPARK-35410), so e.g. gopher_cols
+# re-tokenizes each row ~17x (once per reference across the output columns
+# and the combined keep flag).  bind_stats evaluates the tokenizer ONCE by
+# binding it to a real column in its own Project: CollapseProject keeps a
+# non-cheap alias that is referenced more than once, so the producer/
+# consumer Project pair survives optimization and every stat reads the
+# materialized array.  Values are expression-for-expression identical to
+# the *_cols/*_sql versions (same rounding, same unrounded keep guards).
+# ---------------------------------------------------------------------------
+
+def bind_stats(df, text_col: str = "text", *, quality: bool = False,
+               gopher: bool = False, lang: bool = False,
+               fp: bool = False) -> tuple:
+    """Append hidden bound columns to ``df`` and return (df, cols) where
+    ``cols`` maps output stat name -> Column.  Callers select what they
+    need; unused intermediates are pruned by the optimizer."""
+    t = F.col(text_col).cast("string")
+    df = df.withColumn("_ts_toks", tokens_col(t))
+    toks = F.col("_ts_toks")
+    need_n = quality or gopher
+    need_total = quality or gopher
+    if need_n:
+        df = df.withColumn("_ts_n", F.size(toks))
+    n = F.col("_ts_n")
+    if need_total:
+        df = df.withColumn(
+            "_ts_total",
+            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)))
+    total = F.col("_ts_total")
+    cols: dict = {}
+    if fp:
+        cols["fingerprint"] = F.md5(F.array_join(toks, " "))
+    if lang:
+        df = (df.withColumn("_ts_nen", F.size(F.filter(
+                    toks, lambda w: w.isin(ENGLISH_STOPWORDS))))
+                .withColumn("_ts_nes", F.size(F.filter(
+                    toks, lambda w: w.isin(SPANISH_STOPWORDS)))))
+        cols["lang_pred"] = (
+            F.when(F.col("_ts_nen") > F.col("_ts_nes"), F.lit("en"))
+             .when(F.col("_ts_nes") > F.col("_ts_nen"), F.lit("es"))
+             .otherwise(F.lit("und")))
+    if quality:
+        df = (df.withColumn("_ts_chars", F.length(t))
+                .withColumn("_ts_punct",
+                            F.col("_ts_chars") - F.length(
+                                F.regexp_replace(t, r"[^\w\s]", "")))
+                .withColumn("_ts_nstop", F.size(F.filter(
+                    toks, lambda w: w.isin(ENGLISH_STOPWORDS)))))
+        df = (df.withColumn("_ts_avg",
+                            F.when(n > 0, F.round(
+                                total.cast("double") / n, 4))
+                             .otherwise(0.0))
+                .withColumn("_ts_pr",
+                            F.when(F.col("_ts_chars") > 0, F.round(
+                                F.col("_ts_punct").cast("double")
+                                / F.col("_ts_chars"), 4)).otherwise(0.0)))
+        cols["n_tokens"] = n.cast("int")
+        cols["n_chars"] = F.col("_ts_chars").cast("int")
+        cols["avg_word_len"] = F.col("_ts_avg")
+        cols["stopword_ratio"] = (
+            F.when(n > 0, F.round(
+                F.col("_ts_nstop").cast("double") / n, 4)).otherwise(0.0))
+        cols["punct_ratio"] = F.col("_ts_pr")
+        cols["quality_ok"] = (
+            (n >= 10) & (F.col("_ts_avg") >= 2.0)
+            & (F.col("_ts_avg") <= 12.0)
+            & (F.col("_ts_pr") <= 0.2)).cast("int")
+    if gopher:
+        # keep guards use the UNROUNDED mean/dup ratios, exactly like
+        # gopher_cols / gopher_sql
+        df = (df.withColumn("_ts_mean",
+                            F.when(n > 0, total.cast("double") / n)
+                             .otherwise(0.0))
+                .withColumn("_ts_alpha", F.size(F.filter(
+                    toks, lambda w: w.rlike("[a-záéíóúüñ]"))))
+                .withColumn("_ts_ghits", F.size(F.filter(
+                    toks, lambda w: w.isin(
+                        *[F.lit(s) for s in GOPHER_STOPS]))))
+                .withColumn("_ts_dup",
+                            F.when(n > 0, 1.0 - F.size(
+                                F.array_distinct(toks)).cast("double") / n)
+                             .otherwise(0.0)))
+        df = df.withColumn(
+            "_ts_aratio",
+            F.when(n > 0, F.col("_ts_alpha").cast("double") / n)
+             .otherwise(0.0))
+        cols["n_words"] = n.cast("int")
+        cols["mean_word_len"] = F.round(F.col("_ts_mean"), 4)
+        cols["alpha_ratio"] = F.round(F.col("_ts_aratio"), 4)
+        cols["stop_hits"] = F.col("_ts_ghits").cast("int")
+        cols["dup_frac"] = F.round(F.col("_ts_dup"), 4)
+        cols["gopher_keep"] = (
+            (n >= 20) & (n <= 100000)
+            & (F.col("_ts_mean") >= 3.0) & (F.col("_ts_mean") <= 10.0)
+            & (F.col("_ts_aratio") >= 0.8)
+            & (F.col("_ts_ghits") >= 2) & (F.col("_ts_dup") <= 0.5))
+    return df, cols
 
 
 def gopher_sql(text_expr: str) -> dict:

@@ -147,17 +147,20 @@ _QS = textstats.quality_sql("text")
            {_QS['quality_ok']} AS quality_ok
     FROM documents""")
 def quality_score(spark, sf_dir):
-    cols = textstats.quality_cols("text")
-    return _tw(spark, sf_dir, "documents").select(
-        "doc_id", *[c.alias(n) for n, c in cols.items()])
+    d, cols = textstats.bind_stats(_tw(spark, sf_dir, "documents"),
+                                   quality=True)
+    names = ["n_tokens", "n_chars", "avg_word_len", "stopword_ratio",
+             "punct_ratio", "quality_ok"]
+    return d.select("doc_id", *[cols[n].alias(n) for n in names])
 
 
 @q("langid", f"""
     SELECT doc_id, lang, {textstats.langid_sql('text')} AS lang_pred
     FROM documents""")
 def langid(spark, sf_dir):
-    return _tw(spark, sf_dir, "documents").select(
-        "doc_id", "lang", textstats.langid_col("text").alias("lang_pred"))
+    d, cols = textstats.bind_stats(_tw(spark, sf_dir, "documents"),
+                                   lang=True)
+    return d.select("doc_id", "lang", cols["lang_pred"].alias("lang_pred"))
 
 
 @q("fingerprint", f"""
@@ -1502,10 +1505,13 @@ def gopher_rules(spark, sf_dir):
     cross-engine-expressible subset): word-count bounds, mean word
     length, alphabetic-word ratio, minimum stopword hits, duplicate-token
     fraction, and the combined keep decision — all row-local expressions,
-    zero shuffle."""
-    cols = textstats.gopher_cols("text")
-    return _tw(spark, sf_dir, "documents").select(
-        "doc_id", *[c.alias(nm) for nm, c in cols.items()])
+    zero shuffle.  Tokenizer bound once per row (bind_stats): the
+    expression-level form re-tokenized ~17x per row."""
+    d, cols = textstats.bind_stats(_tw(spark, sf_dir, "documents"),
+                                   gopher=True)
+    names = ["n_words", "mean_word_len", "alpha_ratio", "stop_hits",
+             "dup_frac", "gopher_keep"]
+    return d.select("doc_id", *[cols[n].alias(n) for n in names])
 
 
 # ===========================================================================
@@ -1704,15 +1710,15 @@ def corpus_filter(spark, sf_dir):
     + the first failing reason per document — the decision record a 100 TB
     corpus run materializes next to the text.  Everything is built-in
     expressions; the only shuffle is the fingerprint window (the dedup)."""
-    d = _tw(spark, sf_dir, "documents")
-    q_ = textstats.quality_cols("text")
-    g = textstats.gopher_cols("text")
+    d, cols = textstats.bind_stats(_tw(spark, sf_dir, "documents"),
+                                   quality=True, gopher=True, lang=True,
+                                   fp=True)
     base = d.select(
         "doc_id",
-        textstats.fingerprint_col("text").alias("fp"),
-        textstats.langid_col("text").alias("lang"),
-        q_["quality_ok"].alias("quality_ok"),
-        g["gopher_keep"].cast("int").alias("gopher_ok"))
+        cols["fingerprint"].alias("fp"),
+        cols["lang_pred"].alias("lang"),
+        cols["quality_ok"].alias("quality_ok"),
+        cols["gopher_keep"].cast("int").alias("gopher_ok"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     m = base.withColumn("rn", F.row_number().over(w))
     reason = (F.when(F.col("rn") > 1, "duplicate")
@@ -1996,11 +2002,11 @@ def domain_stats(spark, sf_dir):
     skewed key — AQE skew-split handles giant domains; the aggregate
     itself is partial-combined so the shuffle carries one row per
     (task, host)."""
-    q = textstats.quality_cols("text")["quality_ok"]
+    d, cols = textstats.bind_stats(_tw(spark, sf_dir, "documents"),
+                                   quality=True)
     host = F.lower(F.regexp_extract(_url_spark(),
                                     r"^[a-zA-Z]+://([^/?#]+)", 1))
-    return (_tw(spark, sf_dir, "documents")
-            .select(host.alias("host"), q.alias("q"))
+    return (d.select(host.alias("host"), cols["quality_ok"].alias("q"))
             .groupBy("host")
             .agg(F.count("*").alias("n_docs"),
                  F.count(F.when(F.col("q") == 1, 1)).alias("n_quality"),
@@ -2034,13 +2040,13 @@ def corpus_sample(spark, sf_dir):
     runs and engines (no RNG), selection is content-keyed so re-crawled
     duplicates sample identically.  Zero shuffle for the selection; one
     groupBy(lang) for the audit record."""
-    lang = textstats.langid_col("text")
-    bucket = dedup._h32_spark(textstats.fingerprint_col("text")) % 100
+    d0, cols = textstats.bind_stats(_tw(spark, sf_dir, "documents"),
+                                    lang=True, fp=True)
+    bucket = dedup._h32_spark(cols["fingerprint"]) % 100
     rate = (F.when(F.col("lang") == "en", _SAMPLE_RATES["en"])
              .when(F.col("lang") == "es", _SAMPLE_RATES["es"])
              .otherwise(_SAMPLE_RATES["und"]))
-    d = (_tw(spark, sf_dir, "documents")
-         .select(lang.alias("lang"), bucket.alias("bucket"))
+    d = (d0.select(cols["lang_pred"].alias("lang"), bucket.alias("bucket"))
          .withColumn("keep", (F.col("bucket") < rate).cast("int")))
     return (d.groupBy("lang")
             .agg(F.count("*").alias("n_total"),

@@ -60,14 +60,14 @@ def _mark_first(key, pdf_iter, state: GroupState):
 def stream_corpus_filter(docs: DataFrame) -> DataFrame:
     """docs stream (doc_id, text) -> decision records
     (doc_id, lang, reason, keep)."""
-    q = textstats.quality_cols("text")
-    g = textstats.gopher_cols("text")
-    enriched = docs.select(
+    d, cols = textstats.bind_stats(docs, quality=True, gopher=True,
+                                   lang=True, fp=True)
+    enriched = d.select(
         "doc_id",
-        textstats.fingerprint_col("text").alias("fp"),
-        textstats.langid_col("text").alias("lang"),
-        q["quality_ok"].alias("quality_ok"),
-        g["gopher_keep"].cast("int").alias("gopher_ok"))
+        cols["fingerprint"].alias("fp"),
+        cols["lang_pred"].alias("lang"),
+        cols["quality_ok"].alias("quality_ok"),
+        cols["gopher_keep"].cast("int").alias("gopher_ok"))
     marked = (enriched.groupBy("fp")
               .applyInPandasWithState(_mark_first, _OUT, _STATE,
                                       "append", GroupStateTimeout.NoTimeout))
