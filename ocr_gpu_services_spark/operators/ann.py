@@ -515,15 +515,48 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.99,
 
     def score(it):
         B, Bids, Bn = b_mat.value, b_ids.value, b_norms.value
+        # pre-filter on the RAW cosine with a safe margin (round4 moves a
+        # value by at most 5e-5 + ulp), then round only the candidate
+        # entries: same pair set and identical rounded values as rounding
+        # the whole matrix, without materializing a rounded copy of it.
+        pre = threshold - 1e-4
         for pdf in it:
             A = np.array(list(pdf[emb_col]), dtype=np.float64)
             Aids = pdf[id_col].to_numpy(dtype=np.int64)
+            if A.ndim != 2 or not len(A):
+                yield pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                    "id_b": pd.Series([], dtype="int64"),
+                                    "cosine": pd.Series([], dtype="float64")})
+                continue
             An = np.sqrt((A * A).sum(axis=1))
-            cos = _round4_half_away((A @ B.T) / np.outer(An, Bn))
-            ai, bi = np.nonzero(
-                (cos >= threshold) & (Aids[:, None] < Bids[None, :]))
-            yield pd.DataFrame({"id_a": Aids[ai], "id_b": Bids[bi],
-                                "cosine": cos[ai, bi]})
+            outs = []
+            # chunk the matmul so peak scratch is ~3 x chunk x |B| doubles
+            # (the un-chunked cos/outer/round triple was ~1.2 GB per Arrow
+            # batch per worker at 24k corpus rows x 2048-row batches)
+            for s in range(0, len(A), 256):
+                e = min(s + 256, len(A))
+                # same elementwise float ops as the original
+                # (A @ B.T) / outer(An, Bn) — division by the outer
+                # product, not by the factors separately, so values are
+                # bit-identical
+                cos = (A[s:e] @ B.T) / np.outer(An[s:e], Bn)
+                cand = (cos >= pre) & (Aids[s:e, None] < Bids[None, :])
+                ai, bi = np.nonzero(cand)
+                if not len(ai):
+                    continue
+                cr = _round4_half_away(cos[ai, bi])
+                keep = cr >= threshold
+                outs.append((Aids[s:e][ai[keep]], Bids[bi[keep]],
+                             cr[keep]))
+            if outs:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate([o[0] for o in outs]),
+                    "id_b": np.concatenate([o[1] for o in outs]),
+                    "cosine": np.concatenate([o[2] for o in outs])})
+            else:
+                yield pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                    "id_b": pd.Series([], dtype="int64"),
+                                    "cosine": pd.Series([], dtype="float64")})
 
     return embeddings.select(id_col, emb_col).mapInPandas(
         score, "id_a long, id_b long, cosine double")

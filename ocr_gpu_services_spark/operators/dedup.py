@@ -246,11 +246,27 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         # magnitude AQE would coalesce to anyway.
         want = docs.sparkSession.sparkContext.defaultParallelism
         bands = bands.repartition(want, F.col("band"), F.col("bh"))
+        # Materialize the band table ONCE (localCheckpoint, same pattern
+        # as dup_clusters' edge cache).  The former rely-on-ReusedExchange
+        # shape silently broke: the self-join pushes isnotnull(doc_id) /
+        # isnotnull(doc_id + 100000) predicates into its two scan
+        # subtrees while the guard-count subtree has none, so the three
+        # exchanges canonicalize DIFFERENTLY and the expensive signature
+        # stage (tokenize + shingle + md5 minhash) ran up to 3x —
+        # measured 12.1 s vs 4.2 s for one signature pass at sf1.0.  The
+        # checkpointed table is 4 narrow rows/doc (band, bh, doc_id) —
+        # a tiny fraction of corpus bytes at any scale — and guarantees
+        # one signature evaluation no matter how consumers are planned.
+        bands = bands.localCheckpoint(eager=True)
         over = (bands.groupBy("band", "bh")
                 .agg(F.count("doc_id").alias("_c"))
                 .filter(F.col("_c") > max_bucket)
                 .select("band", "bh"))
         bands = bands.join(F.broadcast(over), ["band", "bh"], "left_anti")
+    else:
+        # no guard: the self-join still consumes the signature twice —
+        # materialize once all the same
+        bands = bands.localCheckpoint(eager=True)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (a.join(b_, ["band", "bh"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -447,10 +463,15 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
     # edge insensitive, so the dedup shuffle would be pure cost.
     spark = pairs.sparkSession
     n_part = spark.sparkContext.defaultParallelism
-    edges = (pairs.select(F.col("doc_a").alias("a"),
-                          F.col("doc_b").alias("b"))
-             .unionByName(pairs.select(F.col("doc_b").alias("a"),
-                                       F.col("doc_a").alias("b")))
+    # symmetric edges via ONE explode instead of a two-branch union: the
+    # union evaluated the (expensive) pairs subtree twice — the persist
+    # below only caches the RESULT, not the two computations feeding it
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col("doc_a").alias("a"),
+                          F.col("doc_b").alias("b")),
+                 F.struct(F.col("doc_b").alias("a"),
+                          F.col("doc_a").alias("b")))).alias("e"))
+             .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
              .repartition(n_part, "a").persist())
     # initialization already applies the FIRST propagation round without
     # a join: every node starts at min(itself, its direct neighbors) —

@@ -20,13 +20,14 @@ from ..core.stopwords import ENGLISH_STOPWORDS, SPANISH_STOPWORDS
 # ---------------------------------------------------------------------------
 
 def tokens_col(col: Column) -> Column:
-    # One regex pass: splitting on runs of non-token chars is equivalent
-    # to the oracle's replace-then-split-on-\s+ (any non-token char is a
-    # delimiter either way; leading/trailing delimiters yield empty
-    # strings, removed by the same filter) and saves a full
-    # regexp_replace + trim pass per evaluation.
+    # Extracting maximal token-char runs is equivalent to the oracle's
+    # replace-then-split-on-\s+ (tokens are exactly the maximal runs of
+    # allowed chars; delimiters never survive), but stays entirely in
+    # codegen: the former split + filter(HOF) pair paid an interpreted
+    # lambda per array element — measured 2.9 s vs 0.4 s per corpus pass
+    # at sf1.0 for this one expression.
     t = F.lower(col.cast("string"))
-    return F.filter(F.split(t, r"[^a-z0-9áéíóúüñ]+"), lambda w: w != "")
+    return F.regexp_extract_all(t, F.lit(r"[a-z0-9áéíóúüñ]+"), F.lit(0))
 
 
 def tokens_sql(expr: str) -> str:

@@ -226,7 +226,7 @@ _ANN_QIDS = [0, 1, 2, 3, 4]
 
 @q("ann_cosine_topk", ann.cosine_topk_sql(_ANN_QIDS, k=5))
 def ann_cosine_topk(spark, sf_dir):
-    return ann.cosine_topk(_t(spark, sf_dir, "embeddings"), _ANN_QIDS, k=5)
+    return ann.cosine_topk(_tw(spark, sf_dir, "embeddings"), _ANN_QIDS, k=5)
 
 
 @q("ann_lsh_topk", ann.lsh_topk_sql(_ANN_QIDS, dim=64, k=5))
@@ -235,7 +235,7 @@ def ann_lsh_topk(spark, sf_dir):
     the same md5-seeded hyperplane buckets from literal plane vectors, so
     both the bucketing (the approximate part) and the exact re-rank are
     value-checked engine-vs-engine."""
-    return ann.lsh_topk(_t(spark, sf_dir, "embeddings"), _ANN_QIDS,
+    return ann.lsh_topk(_tw(spark, sf_dir, "embeddings"), _ANN_QIDS,
                         dim=64, k=5)
 
 
@@ -275,7 +275,7 @@ def ann_ivf_topk(spark, sf_dir):
     vectorized Arrow assignment, probe cells ranked driver-side for the
     bounded query set; oracle = the numpy twin of the full pipeline
     (see _ivf_truth_values)."""
-    return ann.ivf_topk(_t(spark, sf_dir, "embeddings"), _ANN_QIDS,
+    return ann.ivf_topk(_tw(spark, sf_dir, "embeddings"), _ANN_QIDS,
                         dim=64, k=5)
 
 
@@ -763,7 +763,7 @@ def nfc_canon(spark, sf_dir):
 def dedup_embedding(spark, sf_dir):
     # corpus with re-embedded duplicates by construction (every 5th vector
     # re-ingested under a new id) -> cosine 1.0 pairs guaranteed
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _tw(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = e.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     return ann.embedding_dup_pairs(e.unionByName(dup))

@@ -41,20 +41,23 @@ def test_dedup_embedding_lsh_has_no_driver_collect(spark, sf_dir):
     assert plan.count("Exchange (") <= 2
 
 
-def test_minhash_guard_reuses_the_band_exchange(spark, sf_dir):
+def test_minhash_signature_computed_once(spark, sf_dir):
     from ocr_gpu_services_spark.operators import dedup
     from pyspark.sql import functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text").filter(F.col("doc_id") < 60)
     plan = _plan(dedup.minhash_lsh_pairs(docs))
-    # round-3 guard shape: NO full-row window sort — the over-cap bucket
-    # set is counted with a partial aggregate and removed by a broadcast
-    # anti-join; one explicit repartition on (band, bh) is the single
-    # full-row exchange every consumer reuses
-    assert "Window" not in plan
-    assert "LeftAnti" in plan
-    assert "REPARTITION_BY_NUM" in plan   # explicit one-per-core exchange
-    assert "hashpartitioning(band" in plan
+    # round-6 guard shape: the band table (signature stage) is
+    # materialized ONCE via localCheckpoint — the former rely-on-
+    # ReusedExchange shape silently recomputed the signatures up to 3x
+    # because the self-join pushed isnotnull predicates into its scan
+    # subtrees while the guard-count subtree had none, breaking canonical
+    # exchange equality.  Downstream (guard count, anti-join, self-join)
+    # must read the checkpointed RDD, never the parquet corpus.
+    assert "Window" not in plan           # no full-row window sort
+    assert "LeftAnti" in plan             # broadcast anti-join guard
+    assert "Scan ExistingRDD" in plan     # checkpointed band table
+    assert "Scan parquet" not in plan     # signature never recomputed
 
 
 def test_extraction_pipeline_single_python_crossing(spark):
