@@ -517,7 +517,10 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
             # so following one more hop (label of my label) is still
             # inside the component and monotonically non-increasing —
             # halves the remaining distance-to-root every round, making
-            # deep chains O(log diameter) from round 1 on.
+            # deep chains O(log diameter) from round 1 on.  (A two-hop
+            # variant was tried in round 6 and reverted: the second
+            # self-join re-evaluates the un-materialized `mid` subtree,
+            # costing more than the saved rounds.)
             hop = mid.select(F.col("doc_id").alias("h_id"),
                              F.col("mlab").alias("hlab"))
             new = (mid.join(hop, mid.mlab == hop.h_id, "left")

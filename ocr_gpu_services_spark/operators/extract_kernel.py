@@ -70,9 +70,12 @@ def _chunks_by_bytes(batch: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
     # count BOTH payload columns: text-route rows carry html=NULL with
     # the payload in `text`, and counting only html would leave a batch
     # of mega text rows unsplit — exactly the blowup this cap prevents
+    # binary_length on BOTH columns: it returns UTF-8 byte length for
+    # string arrays, while utf8_length counts CHARACTERS — non-ASCII
+    # text payloads undercounted up to 4x against the byte cap
     sizes = pc.add(
         pc.coalesce(pc.binary_length(html), 0),
-        pc.coalesce(pc.utf8_length(text), 0)).to_pylist()
+        pc.coalesce(pc.binary_length(text), 0)).to_pylist()
     start, acc = 0, 0
     for i, s in enumerate(sizes):
         if acc + s > MAX_BATCH_BYTES and i > start:

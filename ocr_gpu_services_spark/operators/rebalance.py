@@ -37,9 +37,13 @@ def rebalance_by_size(df: DataFrame, n_small: int | None = None,
     if n_big is None:
         n_big = max(4, n_small // 4)
     # text-route rows carry html=NULL with the payload in `text`; count
-    # both columns so mega text rows reach the big branch too
-    size = (F.coalesce(F.octet_length(F.col(payload_col)), F.lit(0))
-            + F.coalesce(F.octet_length(F.col("text")), F.lit(0)))
+    # both columns so mega text rows reach the big branch too.  Skip the
+    # secondary term when payload_col IS "text" (or the frame has no text
+    # column): the old unconditional form double-counted text payloads
+    # and raised AnalysisException on text-less frames.
+    size = F.coalesce(F.octet_length(F.col(payload_col)), F.lit(0))
+    if payload_col != "text" and "text" in df.columns:
+        size = size + F.coalesce(F.octet_length(F.col("text")), F.lit(0))
     salt = F.xxhash64(F.col("url"))
     small = df.filter(size <= big_threshold).repartition(n_small, salt)
     big = df.filter(size > big_threshold).repartition(n_big, salt)
