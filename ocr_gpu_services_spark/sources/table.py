@@ -360,11 +360,22 @@ class IcebergLikeTable:
         # before its step-4 move leaves _tmp_compact_<part>_<run> with a
         # full duplicate copy of the partition's data, referenced by no
         # manifest — under the same single-writer assumption as the rest
-        # of this vacuum, any such dir still present is dead
+        # of this vacuum, any such dir still present is dead.  Age-guard
+        # the delete: a dir modified in the last 10 minutes may belong to
+        # a compaction in flight in another process (a violation of the
+        # single-writer assumption, but one this should not escalate into
+        # data loss) — skip it; the next vacuum reclaims it once stale.
         dropped_tmp = 0
+        now = time.time()
         for d in os.listdir(self.path):
             if d.startswith("_tmp_compact_"):
-                shutil.rmtree(os.path.join(self.path, d))
+                full = os.path.join(self.path, d)
+                try:
+                    if now - os.path.getmtime(full) < 600:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(full)
                 dropped_tmp += 1
         return {"dropped_manifests": dropped_manifests,
                 "removed_files": removed_files,

@@ -129,11 +129,20 @@ def test_expire_sweeps_crashed_compaction_tmp_dir(spark, table):
     step holds a full duplicate of the partition's data and is
     referenced by no manifest — expire_snapshots must reclaim it."""
     import os
+    import time
     t, expected = table
     dead = os.path.join(t.path, "_tmp_compact_d1_runX")
     os.makedirs(dead)
     with open(os.path.join(dead, "part-0.parquet"), "wb") as f:
         f.write(b"dead")
+    # a FRESH tmp dir may belong to a compaction in flight in another
+    # process — the sweep must leave it alone (age-guarded delete)
+    stats = t.expire_snapshots(before_unix=0)
+    assert stats["dropped_tmp_dirs"] == 0
+    assert os.path.isdir(dead)
+    # backdate it past the liveness window: genuinely dead, reclaimed
+    old = time.time() - 3600
+    os.utime(dead, (old, old))
     stats = t.expire_snapshots(before_unix=0)
     assert stats["dropped_tmp_dirs"] == 1
     assert not os.path.isdir(dead)
