@@ -27,7 +27,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _tw(spark: SparkSession, sf_dir: str, name: str,
+        want: int | None = None) -> DataFrame:
     """Scan + spread, for CPU-heavy per-row operators (tokenize/hash/
     shingle).  The sf* tables are single-file single-row-group parquet, so
     the scan yields 1-2 splits and the map-side work would run on 2 of 32
@@ -37,7 +38,8 @@ def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Gated on the actual scan split count so at cluster scale (splits >=
     cores) this is a no-op passthrough with zero added shuffle."""
     df = _t(spark, sf_dir, name)
-    want = spark.sparkContext.defaultParallelism
+    if want is None:
+        want = spark.sparkContext.defaultParallelism
     # estimate the scan's split count from the file listing (driver-side
     # stat, <10 ms) instead of df.rdd.getNumPartitions(): materializing
     # the RDD conversion costs >1 s of plan translation PER CALL, a tax
@@ -778,7 +780,14 @@ def dedup_embedding_lsh(spark, sf_dir):
     and the same exact-pairs oracle as dedup_embedding — the band
     parameters give (verified) 100% recall on the test corpora, so the
     approximate operator must reproduce the exact pair set to pass."""
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # quarter-cores spread for the bucketize map stage: it fans each row
+    # x n_bands, so small pandas batches pay per-task overhead — measured
+    # best at cores/4 (None: 3.3s, 8: 2.35s, 16: 2.5s, 32: 3.0s at
+    # sf1.0/local[32]); split-count-gated like every _tw use, so at
+    # cluster scale (splits >= cores/4) it is a no-op
+    want = max(2, spark.sparkContext.defaultParallelism // 4)
+    e = _tw(spark, sf_dir, "embeddings", want=want) \
+        .select("vec_id", "embedding")
     dup = e.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     return ann.embedding_dup_pairs_lsh(e.unionByName(dup), dim=64)
