@@ -182,11 +182,29 @@ def fingerprint(spark, sf_dir):
     "SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0)"))
 def dedup_exact(spark, sf_dir):
     # corpus with duplicates by construction (every third doc re-crawled
-    # under a new id) so the >1 group path is actually exercised
+    # under a new id) so the >1 group path is actually exercised.
+    # Construction shape: the former two-branch union scanned + tokenized
+    # + md5'd the corpus 1.33x (union branches share nothing — each
+    # re-evaluates its scan subtree).  The re-crawled copy has IDENTICAL
+    # text, so its fingerprint is identical by definition: fingerprint
+    # once per base doc, then explode each row into 1-or-2 (doc_id, fp)
+    # rows.  One scan, one fingerprint pass, fully codegen; `fp` is a
+    # bound alias referenced by both struct branches, so CollapseProject
+    # keeps it a single evaluation (same rule bind_stats relies on).
     d = _tw(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = d.filter(F.col("doc_id") % 3 == 0) \
-           .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    return dedup.exact_dup_groups(d.unionByName(dup))
+    base = F.struct(F.col("doc_id"), F.col("fp"))
+    recrawl = F.struct((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.col("fp"))
+    rows = (d.withColumn("fp", textstats.fingerprint_col("text"))
+            .select(F.explode(
+                F.when(F.col("doc_id") % 3 == 0, F.array(base, recrawl))
+                 .otherwise(F.array(base))).alias("r"))
+            .select(F.col("r.doc_id").alias("doc_id"),
+                    F.col("r.fp").alias("fingerprint")))
+    return (rows.groupBy("fingerprint")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("canonical_doc_id"))
+            .filter(F.col("n_dups") > 1))
 
 
 @q("simhash16", dedup.simhash_sql("documents", "doc_id < 200"))
@@ -558,6 +576,13 @@ def top_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")
+    # join order kept li⋈o-first deliberately (round 6): Catalyst auto-
+    # broadcasts `orders` from its scan-size estimate, so lineitem is
+    # never shuffled (plan: two BroadcastHashJoins + the single groupBy
+    # exchange).  Reordering to orders⋈customer-first was tried and
+    # REVERTED: the post-join orders side loses its size estimate, the
+    # planner falls back to a SortMergeJoin, and the 6M-row lineitem
+    # exchange+sort cost +65% (1.62 -> 2.68 s at 10x bench scale).
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
                   o.o_custkey == F.col("c_custkey"))
@@ -2214,13 +2239,24 @@ def decontaminate(spark, sf_dir):
          .select("doc_id", "text")
          .withColumn("t", textstats.tokens_col(F.col("text")))
          .filter(F.size("t") >= _DC_L))
-    # codegen gram build (explode positions + slice/md5 as plain columns)
-    # instead of an interpreted transform(...) lambda per window
+    # codegen gram build (explode positions + slice/hash as plain columns)
+    # instead of an interpreted transform(...) lambda per window.
+    # Hash choice (round 6): the gram key `g` is INTERNAL-ONLY — the
+    # output is (doc_id, n_hits), so `g` only has to be an injective
+    # window-identity proxy, and xxhash64 (an 8-byte long) replaces md5
+    # (a 32-char hex string): cheaper to compute, and the broadcast set,
+    # the join probe and the count_distinct all carry a quarter of the
+    # bytes (guide §2.3 narrower types).  Verified result-identical on
+    # the full 10x corpus; the oracle keeps its own md5 proxy — both are
+    # collision-free at these cardinalities (~1e7 grams vs 2^64), so
+    # engine and oracle count the same distinct windows.  Queries whose
+    # hash VALUES reach the output or decide oracle-visible bucketing
+    # (fingerprint, minhash bands, hll registers) must keep md5/h32.
     grams = (d.select(
         "doc_id",
         F.expr(f"explode(sequence(1, size(t) - {_DC_L - 1}))").alias("p"),
         "t")
-        .select("doc_id", F.md5(F.array_join(
+        .select("doc_id", F.xxhash64(F.array_join(
             F.slice(F.col("t"), F.col("p"), _DC_L), " ")).alias("g")))
     bench = (grams.filter(F.col("doc_id") % 17 == 3)
              .select("g").distinct())

@@ -130,3 +130,19 @@ def test_round3_operators_plan_shapes(spark, sf_dir):
     # `term` skews on exactly the hottest keys (stopwords)
     assert "BroadcastHashJoin" in tf
     assert "SortMergeJoin" not in tf
+
+
+def test_dedup_exact_single_corpus_pass(spark, sf_dir):
+    """Round-6 shape: the duplicated-corpus construction explodes each
+    base row into 1-or-2 (doc_id, fingerprint) rows instead of a
+    two-branch union — the union re-evaluated its scan + tokenize + md5
+    subtree per branch (1.33x fingerprint work, two corpus scans), the
+    explode scans and fingerprints exactly once and stays codegen."""
+    from ocr_gpu_services_spark.plans.queries import QUERIES
+    plan = _plan(QUERIES["dedup_exact"](spark, sf_dir))
+    # one corpus pass: a single scan node in the plan tree (each tree
+    # node also reappears once in the numbered details section)
+    assert plan.count("Scan parquet  (") == 1
+    assert "Union" not in plan
+    assert "Generate" in plan                # the 1-or-2-row explode
+    assert "BatchEvalPython" not in plan
