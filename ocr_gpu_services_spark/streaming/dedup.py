@@ -63,9 +63,18 @@ def _keep_first(key, pdf_iter, state: GroupState):
 
 def stream_dedup_exact(pages: DataFrame,
                        payload_col: str = "html") -> DataFrame:
-    """pages stream -> first-seen rows only, keyed by payload md5."""
+    """pages stream -> first-seen rows only, keyed by payload md5.
+
+    The explicit narrow projection before the stateful groupBy matters
+    at scale: ``applyInPandasWithState`` is opaque to column pruning, so
+    without it the fingerprint exchange and the Python boundary carry
+    the FULL page payload (html/text bytes) per row when the state
+    function only ever reads (url, warc_ts, fingerprint) — ~60 bytes.
+    Shuffle the decision keys, never the payload (the dedup output is a
+    survivor list; the payload is re-attached downstream by doc key)."""
     fp = pages.withColumn("fingerprint", F.md5(F.col(payload_col)))
-    return (fp.groupBy("fingerprint")
+    return (fp.select("fingerprint", "url", "warc_ts")
+            .groupBy("fingerprint")
             .applyInPandasWithState(
                 _keep_first, OUT_SCHEMA, STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))

@@ -215,6 +215,19 @@ def test_streaming_stateful_dedup(spark, tmp_path):
              for r in base[10:20]]
     write_batch(redup + base[30:50], "b2")
 
+    # scale guard (round 6): applyInPandasWithState is opaque to column
+    # pruning, so the operator must project to (fingerprint, url,
+    # warc_ts) ITSELF before the stateful groupBy — otherwise the
+    # fingerprint exchange and the Python boundary carry the full page
+    # payload per row.  Pin the narrow projection in the analyzed plan.
+    import re
+    plan_df = stream_dedup_exact(
+        spark.readStream.schema(PAGES_SCHEMA).parquet(f"{src}/*"))
+    plan = plan_df._jdf.queryExecution().analyzed().toString()
+    projs = re.findall(r"Project \[([^\]]+)\]", plan)
+    assert any("fingerprint" in p and "html" not in p and "text" not in p
+               for p in projs), plan
+
     def run_stream():
         pages = (spark.readStream.schema(PAGES_SCHEMA)
                  .option("maxFilesPerTrigger", 1)
