@@ -41,6 +41,9 @@ SIMHASH_BITS = 16
 # gates stay exact.
 MAX_SHINGLE_DF = 1000
 MAX_BAND_BUCKET = 200
+# dup_clusters: first round index that pointer-jumps (see the sweep in
+# the round loop) — early rounds propagate without the self-join.
+JUMP_FROM_ROUND = 3
 
 
 # ---------------------------------------------------------------------------
@@ -504,12 +507,20 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 200) -> DataFrame:
                .agg(F.min(F.when(F.col("is_self"), F.col("lab")))
                      .alias("prev_lab"),
                     F.min("lab").alias("mlab")))
-        if it == 0:
+        if it < JUMP_FROM_ROUND:
             # dup graphs are overwhelmingly shallow (cliques / short
-            # chains): the init already propagated one hop, so round 0
-            # usually just CONFIRMS convergence — skip the pointer-jump
-            # self-join and its extra shuffle on the round most
-            # clusters never get past.
+            # chains): the init already propagated one hop, so the first
+            # rounds usually just finish propagation or CONFIRM
+            # convergence — skip the pointer-jump self-join and its
+            # extra shuffle there.  Round-6 sweep (jump from round 1 /
+            # 3 / never, 10x bench scale): a 3-round shallow graph reads
+            # 8.2 / 6.6 / 6.6 s, a diameter-100 chain graph 8.8 s
+            # (7 rounds) / 6.5 s (9 rounds) / 30 s (99 rounds) — the
+            # jump-free rounds are cheaper than the log-rounds they add,
+            # on BOTH regimes, but jumping must kick in for deep chains
+            # (jump-never is O(diameter)).  The fixed point is invariant
+            # to the jump schedule (labels only accelerate toward the
+            # component minimum), pinned by the deep-chain unit test.
             new = mid.select("doc_id", "prev_lab",
                              F.col("mlab").alias("lab"))
         else:
