@@ -2520,12 +2520,28 @@ def perplexity_filter(spark, sf_dir):
     bi_c = (from_tri.unionByName(last_bi)
             .groupBy("b").agg(F.sum("cb").alias("cb")))
     # fold the model to g -> lp BEFORE the corpus-sized probe: both
-    # tables are tiny, so the probe pays ONE broadcast join on g
-    # instead of two string joins
+    # tables are tiny, so the probe pays ONE broadcast join
+    # instead of two string joins.  The probe JOIN KEY is internal-only
+    # (the output is doc_id/counts/avg), so the corpus-sized probe
+    # stream carries xxhash64 of the trigram (8-byte long) instead of
+    # the 3-char string and the model is emitted hash-keyed (round 6,
+    # guide §2.3 narrower types; same rule as decontaminate's gram key
+    # — every probe trigram exists in the model by construction, and
+    # the model is charset^3-bounded, so 64-bit collisions are
+    # vanishing; verified result-identical on the full 10x corpus,
+    # 5.9 -> 5.3 s).  The model build keeps the STRING g internally —
+    # the bigram-prefix aggregation needs substring(g, 1, 2).
     model = (tri_c.join(bi_c, F.substring("g", 1, 2) == F.col("b"))
-             .select("g", F.log(F.col("cg").cast("double")
-                                / F.col("cb")).alias("lp")))
-    scored = tri.join(F.broadcast(model), "g")
+             .select(F.xxhash64("g").alias("gh"),
+                     F.log(F.col("cg").cast("double")
+                           / F.col("cb")).alias("lp")))
+    tri_h = (d.filter(F.length("t") >= 3)
+             .select("doc_id",
+                     F.expr("explode(sequence(1, length(t) - 2))").alias("i"),
+                     "t")
+             .select("doc_id",
+                     F.expr("xxhash64(substring(t, i, 3))").alias("gh")))
+    scored = tri_h.join(F.broadcast(model), "gh")
     return (scored.groupBy("doc_id")
             .agg(F.count("*").alias("n_trigrams"),
                  F.round(F.avg("lp"), 4).alias("avg_logprob"),
