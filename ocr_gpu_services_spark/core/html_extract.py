@@ -29,9 +29,9 @@ levels structural rather than coincidental.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 
-from .html_tokenize import feed_events
 from .normalize import canonical_text, collapse_ws
 from .spans import Span
 
@@ -164,6 +164,122 @@ class _StdlibBlockParser(_BlockHandler, HTMLParser):
         HTMLParser.__init__(self, convert_charrefs=True)
 
 
+def _blocks_fused(raw: str) -> list[tuple[str, int, float, str]]:
+    """Fused tokenizer + block extractor: the feed_events scan loop and the
+    _BlockHandler event logic inlined into ONE function with local state.
+
+    Profiling put the per-event Python method dispatch (4 hook calls per
+    markup token, ~140 events/doc over 70% of the corpus) at a third of
+    HTML-route CPU; fusing removes every hook call and the per-block
+    dataclass.  Event-for-event identical to
+    ``feed_events(raw, _BlockHandler())`` — pinned three-ways against the
+    handler and the stdlib twin over the whole corpus
+    (tests/test_core.py::test_fast_tokenizer_matches_stdlib).
+
+    Two algebraic shortcuts (exact, not approximations):
+    * pieces are ``collapse_ws`` outputs (nonempty, single internal
+      spaces, no edge whitespace), so the per-flush
+      ``collapse_ws(" ".join(parts))`` is the identity and is skipped;
+    * ``len(text.split())`` therefore equals the sum of per-piece token
+      counts, accumulated at data time (``len(toks)``) instead of
+      re-scanning the joined block.
+    """
+    from .html_tokenize import _CDATA_CLOSE, _SCAN
+
+    blocks: list[tuple[str, int, float, str]] = []
+    skip_depth = 0
+    link_depth = 0
+    cur_tag = "body"
+    parts: list[str] = []
+    link_chars = total_chars = words = 0
+
+    def flush(next_tag: str) -> None:
+        nonlocal parts, link_chars, total_chars, words, cur_tag
+        if parts:
+            blocks.append((" ".join(parts), words,
+                           link_chars / total_chars, cur_tag))
+            parts = []
+            link_chars = total_chars = words = 0
+        cur_tag = next_tag
+
+    search = _SCAN.search
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        m = search(raw, pos)
+        if m is None:
+            break
+        s = m.start()
+        if s > pos and not skip_depth:
+            d = raw[pos:s]
+            toks = (unescape(d) if "&" in d else d).split()
+            if toks:
+                piece = " ".join(toks)
+                parts.append(piece)
+                ln = len(piece)
+                total_chars += ln
+                if link_depth:
+                    link_chars += ln
+                words += len(toks)
+        pos = m.end()
+        close, name, selfclose = m.group(1), m.group(2), m.group(3)
+        if name is None:                        # comment/declaration/PI
+            continue
+        tag = name.lower()
+        if close:
+            # handle_endtag
+            if tag in SKIP_TAGS:
+                if skip_depth:
+                    skip_depth -= 1
+            elif not skip_depth:
+                if tag == "a" and link_depth:
+                    link_depth -= 1
+                if tag in BLOCK_TAGS:
+                    flush(cur_tag)
+        elif selfclose:
+            # handle_startendtag: starttag then endtag (skip tags net out)
+            if tag not in SKIP_TAGS and not skip_depth:
+                if tag in BLOCK_TAGS:
+                    flush(tag if tag not in ("br", "hr") else cur_tag)
+                    flush(cur_tag)
+        else:
+            # handle_starttag
+            if tag in SKIP_TAGS:
+                skip_depth += 1
+            elif not skip_depth:
+                if tag == "a":
+                    link_depth += 1
+                if tag in BLOCK_TAGS:
+                    flush(tag if tag not in ("br", "hr") else cur_tag)
+            cd = _CDATA_CLOSE.get(tag)
+            if cd is not None:                  # CDATA content element
+                # raw CDATA body bypasses unescape (feed_events calls
+                # handle_data directly); script/style are SKIP_TAGS so
+                # the body is dropped by the skip guard exactly as the
+                # handler drops it — only the position jump matters
+                mc = cd.search(raw, pos)
+                if mc is None:
+                    pos = n
+                else:
+                    # handle_endtag(tag): tag is a SKIP_TAG
+                    if skip_depth:
+                        skip_depth -= 1
+                    pos = mc.end()
+    if pos < n and not skip_depth:
+        d = raw[pos:]
+        toks = (unescape(d) if "&" in d else d).split()
+        if toks:
+            piece = " ".join(toks)
+            parts.append(piece)
+            ln = len(piece)
+            total_chars += ln
+            if link_depth:
+                link_chars += ln
+            words += len(toks)
+    flush(cur_tag)
+    return blocks
+
+
 def extract_html(payload: bytes,
                  _stdlib_tokenizer: bool = False) -> tuple[str, list[Span]]:
     """Extract main content text + block spans from raw HTML bytes."""
@@ -172,12 +288,10 @@ def extract_html(payload: bytes,
         parser = _StdlibBlockParser()
         parser.feed(raw)
         parser.close()
+        parser._flush(parser._cur.tag)
+        blocks = parser.blocks
     else:
-        parser = _BlockHandler()
-        feed_events(raw, parser)
-    parser._flush(parser._cur.tag)
-
-    blocks = parser.blocks
+        blocks = _blocks_fused(raw)
     feats = [(w, ld) for (_, w, ld, _) in blocks]
     kept: list[tuple[str, str]] = []
     for i, (text, words, ld, tag) in enumerate(blocks):

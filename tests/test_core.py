@@ -254,12 +254,15 @@ def test_fast_tokenizer_matches_stdlib():
     whole tiny corpus + targeted edge cases (entities, CDATA script/style,
     self-closing skip tags, comments, quoted '>' in attributes)."""
     from ocr_gpu_services_spark.core.html_extract import (
-        _BlockHandler, _StdlibBlockParser)
+        _BlockHandler, _StdlibBlockParser, _blocks_fused)
     from ocr_gpu_services_spark.core.html_tokenize import feed_events
     from ocr_gpu_services_spark.fixtures.gen import gen_rows
 
     def fast(raw):
         h = _BlockHandler(); feed_events(raw, h); h._flush(h._cur.tag)
+        # the fused production path (tokenizer + handler inlined) must
+        # produce the exact same block stream as the handler composition
+        assert _blocks_fused(raw) == h.blocks
         return h.blocks
 
     def std(raw):
