@@ -222,7 +222,7 @@ def _blocks_fused(raw: str) -> list[tuple[str, int, float, str]]:
                     link_chars += ln
                 words += len(toks)
         pos = m.end()
-        close, name, selfclose = m.group(1), m.group(2), m.group(3)
+        close, name, selfclose = m.group(1, 2, 3)
         if name is None:                        # comment/declaration/PI
             continue
         tag = name.lower()
