@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 from html import unescape
 from html.parser import HTMLParser
 
+from .html_tokenize import _CDATA_CLOSE, _SCAN
 from .normalize import canonical_text, collapse_ws
 from .spans import Span
 
@@ -184,8 +185,6 @@ def _blocks_fused(raw: str) -> list[tuple[str, int, float, str]]:
       counts, accumulated at data time (``len(toks)``) instead of
       re-scanning the joined block.
     """
-    from .html_tokenize import _CDATA_CLOSE, _SCAN
-
     blocks: list[tuple[str, int, float, str]] = []
     skip_depth = 0
     link_depth = 0
