@@ -23,10 +23,16 @@ DOCUMENT_KEYWORDS: list[tuple[str, list[str]]] = [
 ]
 
 
+# keyword casefolding hoisted out of the per-document loop (the constants
+# are already lowercase; kw.lower() ran 17x per classified document)
+_KEYWORDS_LOWER: list[tuple[str, list[str]]] = [
+    (t, [kw.lower() for kw in kws]) for t, kws in DOCUMENT_KEYWORDS]
+
+
 def classify_text(text: str) -> tuple[str, float]:
     low = text.lower()
-    for doc_type, keywords in DOCUMENT_KEYWORDS:
-        matches = sum(1 for kw in keywords if kw.lower() in low)
+    for doc_type, keywords in _KEYWORDS_LOWER:
+        matches = sum(1 for kw in keywords if kw in low)
         if matches > 0:
             return doc_type, matches / len(keywords)
     return "unknown", 0.0
